@@ -1,0 +1,202 @@
+"""Config system: one YAML file with five sections (model / optimizer / loss /
+training / data), validated into dataclasses.
+
+Schema mirrors the reference ``src/config.yaml:1-53`` and its loader
+``src/utils/miscellany.py:17-30`` so existing experiment configs port unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import yaml
+
+
+@dataclass
+class ModelConfig:
+    architecture: str = "MTnnUNet"
+    sequences: int = 1
+    width: int = 24
+    deep_supervision: bool = True
+
+
+@dataclass
+class OptimizerConfig:
+    opt: str = "Adam"
+    lr: float = 1e-4
+    scheduler: str = "plateau"
+    patience: int = 20
+    min_lr: float = 1e-6
+    decrease_factor: float = 0.5
+    t_max: int = 40
+
+
+@dataclass
+class LossConfig:
+    function: str = "DICE"
+    inversely_weighted: bool = True
+    classification_criterion: str = "Focal"
+
+
+@dataclass
+class TrainingConfig:
+    debug: bool = False
+    seed: int = 1993
+    epochs: int = 200
+    max_patience: int = 50
+    CV: int = 4
+    cuda_benchmark: bool = False  # accepted for config compatibility; no-op on TPU
+    alpha: float = 0.35
+    threshold_postprocessing: int = 0
+    overlap_seg_based_on_class: bool = True
+    overlap_class_based_on_seg: bool = True
+    # TPU-native additions (absent keys default so reference configs load as-is)
+    compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    data_parallel: bool = True      # shard batches over all visible devices
+
+
+@dataclass
+class AugmentationConfig:
+    CLAHE: bool = False
+    SOBEL: bool = False
+    brightness_brighter: bool = False
+    brightness_darker: bool = False
+    contrast_high: bool = False
+    contrast_low: bool = False
+
+    def n_active(self) -> int:
+        return sum(int(v) for v in dataclasses.asdict(self).values())
+
+    def as_dict(self) -> Dict[str, bool]:
+        return dataclasses.asdict(self)
+
+
+@dataclass
+class TransformsConfig:
+    horizontal_flip: float = 0.5
+    vertical_flip: float = 0.5
+    rotation: float = 0.5
+
+
+@dataclass
+class DataConfig:
+    semantic_segmentation: bool = False
+    input_img: str = "Datasets/Dataset_BUSI_with_GT_postprocessed_128_uniques"
+    batch_size: int = 2
+    train_size: float = 0.8
+    classes: List[str] = field(default_factory=lambda: ["benign", "malignant", "normal"])
+    classes_weighted: Optional[List[float]] = None
+    use_duplicated_to_train: bool = False
+    remove_outliers: bool = False
+    oversampling: bool = True
+    augmentation: AugmentationConfig = field(default_factory=AugmentationConfig)
+    transforms: TransformsConfig = field(default_factory=TransformsConfig)
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+
+
+def _build(dc_type, raw: Optional[Dict[str, Any]]):
+    """Build a dataclass from a raw dict, ignoring unknown keys (logged)."""
+    raw = dict(raw or {})
+    fields = {f.name: f for f in dataclasses.fields(dc_type)}
+    kwargs = {}
+    for key, value in raw.items():
+        if key not in fields:
+            logging.warning("config: ignoring unknown key %r for %s", key, dc_type.__name__)
+            continue
+        f = fields[key]
+        if f.type in ("AugmentationConfig",) or f.name == "augmentation":
+            value = _build(AugmentationConfig, value)
+        elif f.type in ("TransformsConfig",) or f.name == "transforms":
+            value = _build(TransformsConfig, value)
+        kwargs[key] = value
+    return dc_type(**kwargs)
+
+
+def load_config(path: str | Path) -> Config:
+    """Load the five-section YAML config into a validated :class:`Config`."""
+    with open(path) as cf:
+        raw = yaml.safe_load(cf) or {}
+    cfg = Config(
+        model=_build(ModelConfig, raw.get("model")),
+        optimizer=_build(OptimizerConfig, raw.get("optimizer")),
+        loss=_build(LossConfig, raw.get("loss")),
+        training=_build(TrainingConfig, raw.get("training")),
+        data=_build(DataConfig, raw.get("data")),
+    )
+    logging.info("Loaded config from %s:\n%s", path, cfg)
+    return cfg
+
+
+def load_config_file(path: str | Path) -> Tuple[ModelConfig, OptimizerConfig, LossConfig, TrainingConfig, DataConfig]:
+    """Reference-parity loader: returns the five sections as separate objects
+    (reference ``src/utils/miscellany.py:17-30`` returns five dicts)."""
+    cfg = load_config(path)
+    return cfg.model, cfg.optimizer, cfg.loss, cfg.training, cfg.data
+
+
+DEFAULT_CONFIG_YAML = """\
+model: # model hyper-parameters
+  architecture: MTnnUNet
+  sequences: 1
+  width: 24
+  deep_supervision: True
+
+optimizer:
+  opt: Adam
+  lr: 0.0001
+  scheduler: plateau
+  patience: 20
+  min_lr: 1e-6
+  decrease_factor: 0.5
+  t_max: 40
+
+loss:
+  function: DICE
+  inversely_weighted: True
+  classification_criterion: Focal
+
+training:
+  debug: False
+  seed: 1993
+  epochs: 200
+  max_patience: 50
+  CV: 4
+  alpha: 0.35
+  threshold_postprocessing: 0
+  overlap_seg_based_on_class: True
+  overlap_class_based_on_seg: True
+
+data:
+  semantic_segmentation: False
+  input_img: Datasets/Curated_BUSI_128
+  batch_size: 2
+  train_size: 0.8
+  classes: [benign, malignant, normal]
+  classes_weighted: null
+  use_duplicated_to_train: False
+  remove_outliers: False
+  oversampling: True
+  augmentation:
+    CLAHE: False
+    SOBEL: False
+    brightness_brighter: False
+    brightness_darker: False
+    contrast_high: False
+    contrast_low: False
+  transforms:
+    horizontal_flip: 0.5
+    vertical_flip: 0.5
+    rotation: 0.5
+"""

@@ -1,0 +1,230 @@
+"""Shared building blocks for the model zoo (Flax linen, NHWC).
+
+TPU-first notes:
+- All tensors are NHWC (channels-last) so XLA tiles convs onto the MXU without
+  layout transposes.
+- Instance norm + LeakyReLU after a conv is a pure elementwise+reduction chain
+  that XLA fuses into the conv epilogue; an optional Pallas kernel
+  (``ops.pallas_kernels.instance_norm_leaky_relu``) fuses the normalize+activate
+  pass explicitly when enabled.
+
+Semantics parity (not code translation) with the reference blocks:
+- ``ConvInNormLeReLU`` / ``LevelBlock``: reference ``src/models/segmentation/BTS_UNet.py:19-61``
+  (conv3x3 bias=False → InstanceNorm(affine=False) → LeakyReLU(0.01)).
+- MONAI-equivalent ``TwoConv`` / ``Down`` / ``UpCat`` used by the UNet++ family:
+  conv(bias=True) → InstanceNorm(affine=True) → LeakyReLU(0.1), deconv upsample
+  (reference ``src/models/multitask/MTUNetPlusPlus.py:20-76`` which builds on
+  ``monai.networks.nets.basic_unet``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# He-normal (Kaiming) init, matching the reference's
+# ``nn.init.kaiming_normal_(w, nonlinearity='leaky_relu')`` (gain≈sqrt(2), fan_in)
+# at e.g. ``src/models/segmentation/BTS_UNet.py:115-121``.
+kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+Dtype = Any
+
+
+def conv3x3(features: int, *, stride: int = 1, use_bias: bool = False,
+            dilation: int = 1, name: Optional[str] = None,
+            dtype: Optional[Dtype] = None) -> nn.Conv:
+    """3×3 conv, padding preserves spatial size (reference conv3x3, bias=False)."""
+    return nn.Conv(features, (3, 3), strides=(stride, stride),
+                   padding=((dilation, dilation), (dilation, dilation)),
+                   kernel_dilation=(dilation, dilation), use_bias=use_bias,
+                   kernel_init=kaiming_normal, name=name, dtype=dtype)
+
+
+def conv1x1(features: int, *, use_bias: bool = True, name: Optional[str] = None,
+            dtype: Optional[Dtype] = None) -> nn.Conv:
+    """1×1 conv (reference conv1x1, bias=True, zero-initialised bias)."""
+    return nn.Conv(features, (1, 1), use_bias=use_bias,
+                   kernel_init=kaiming_normal, name=name, dtype=dtype)
+
+
+def conv5x5(features: int, *, use_bias: bool = False, name: Optional[str] = None,
+            dtype: Optional[Dtype] = None) -> nn.Conv:
+    """5×5 conv (reference FSB_BTS_UNet.py conv5x5)."""
+    return nn.Conv(features, (5, 5), padding=((1, 1), (1, 1)), use_bias=use_bias,
+                   kernel_init=kaiming_normal, name=name, dtype=dtype)
+
+
+def deconv(features: int, kernel: int, *, name: Optional[str] = None,
+           dtype: Optional[Dtype] = None) -> nn.ConvTranspose:
+    """ConvTranspose with kernel==stride (exact k× upsampling, no overlap)."""
+    return nn.ConvTranspose(features, (kernel, kernel), strides=(kernel, kernel),
+                            padding="VALID", use_bias=True, name=name, dtype=dtype)
+
+
+def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+def avg_pool(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    return nn.avg_pool(x, (k, k), strides=(k, k))
+
+
+def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """AdaptiveAvgPool2d(1) + Flatten: (B,H,W,C) → (B,C)."""
+    return jnp.mean(x, axis=(1, 2))
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic 2× nearest-neighbour upsample (NHWC).
+
+    The reference deliberately uses nearest (not bilinear) for reproducibility
+    (``src/models/segmentation/BTS_UNet.py:96-98``); on TPU ``jnp.repeat`` along
+    H and W lowers to cheap broadcasts.
+    """
+    b, h, w, c = x.shape
+    x = jnp.repeat(x, 2, axis=1)
+    x = jnp.repeat(x, 2, axis=2)
+    return x
+
+
+class InstanceNorm(nn.Module):
+    """Per-sample, per-channel normalisation over spatial dims (NHWC).
+
+    ``affine=False``/eps=1e-5 matches ``torch.nn.InstanceNorm2d`` defaults used
+    by the custom zoo; ``affine=True`` matches the MONAI instance norm used by
+    the UNet++ family. Batch-size independent, hence trivially data-parallel
+    (no cross-device statistics).
+    """
+
+    affine: bool = False
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+            bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+            y = y * scale + bias
+        return y
+
+
+class ConvInNormLeReLU(nn.Module):
+    """conv3x3(bias=False) → InstanceNorm → LeakyReLU(0.01).
+
+    Behavioural twin of the reference's ConvInNormLeReLU stack
+    (``src/models/segmentation/BTS_UNet.py:19-39``).
+    """
+
+    features: int
+    negative_slope: float = 0.01
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = conv3x3(self.features, name="conv")(x)
+        x = InstanceNorm(name="norm")(x)
+        return nn.leaky_relu(x, self.negative_slope)
+
+
+class LevelBlock(nn.Module):
+    """Two stacked ConvInNormLeReLU blocks (reference LevelBlock)."""
+
+    mid_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = ConvInNormLeReLU(self.mid_features, name="block1")(x)
+        x = ConvInNormLeReLU(self.out_features, name="block2")(x)
+        return x
+
+
+class MLPHead(nn.Module):
+    """Flatten → Linear(hidden) → ReLU → Linear(n_out) classifier head."""
+
+    hidden: int
+    n_out: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.reshape((x.shape[0], -1))
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.relu(x)
+        return nn.Dense(self.n_out, name="fc2")(x)
+
+
+# ---------------------------------------------------------------------------
+# MONAI basic_unet-equivalent blocks (UNet++ family)
+# ---------------------------------------------------------------------------
+
+
+class MonaiConv(nn.Module):
+    """conv3x3(bias=True) → InstanceNorm(affine=True) → [dropout] → LeakyReLU(0.1).
+
+    Equivalent of one ``monai.networks.blocks.Convolution`` with adn ordering
+    "NDA" as configured by the reference UNet++ family
+    (``src/models/multitask/MTUNetPlusPlus.py:20-23``).
+    """
+
+    features: int
+    dropout: float = 0.0
+    negative_slope: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        x = nn.Conv(self.features, (3, 3), use_bias=True,
+                    kernel_init=kaiming_normal, name="conv")(x)
+        x = InstanceNorm(affine=True, name="norm")(x)
+        if self.dropout > 0.0:
+            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return nn.leaky_relu(x, self.negative_slope)
+
+
+class TwoConv(nn.Module):
+    """Two MonaiConv blocks (monai basic_unet TwoConv equivalent)."""
+
+    features: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        x = MonaiConv(self.features, self.dropout, name="conv_0")(x, deterministic=deterministic)
+        x = MonaiConv(self.features, self.dropout, name="conv_1")(x, deterministic=deterministic)
+        return x
+
+
+class Down(nn.Module):
+    """MaxPool(2) → TwoConv (monai basic_unet Down equivalent)."""
+
+    features: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        x = max_pool_2x2(x)
+        return TwoConv(self.features, self.dropout, name="convs")(x, deterministic=deterministic)
+
+
+class UpCat(nn.Module):
+    """Deconv 2× upsample → concat skip → TwoConv (monai basic_unet UpCat, deconv mode).
+
+    ``halves=True`` halves the channel count in the deconv (monai default).
+    """
+
+    in_features: int
+    out_features: int
+    halves: bool = True
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, skip: jnp.ndarray, *,
+                 deterministic: bool = True) -> jnp.ndarray:
+        up_features = self.in_features // 2 if self.halves else self.in_features
+        x = deconv(up_features, 2, name="upsample")(x)
+        x = jnp.concatenate([skip, x], axis=-1)
+        return TwoConv(self.out_features, self.dropout, name="convs")(x, deterministic=deterministic)

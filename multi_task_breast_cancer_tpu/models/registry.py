@@ -1,0 +1,118 @@
+"""Model factories — the equivalent of the reference experiment factory's
+``init_segmentation_model`` / ``init_classification_model`` /
+``init_multitask_model`` (``src/utils/experiment_init.py:26-174``).
+
+Factories return an un-initialised Flax module; parameter init happens in the
+training core with an explicit PRNG key (functional, reproducible).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multi_task_breast_cancer_tpu.models.bts_unet import BTSUNet
+from multi_task_breast_cancer_tpu.models.classifiers import BTSUNetClassifier, NNUNetClassifier
+from multi_task_breast_cancer_tpu.models.fsb_bts_unet import FSBBTSUNet
+from multi_task_breast_cancer_tpu.models.monai_zoo import AttentionUNet, SegResNet, UNet
+from multi_task_breast_cancer_tpu.models.multitask import (
+    Adityan,
+    MTnnUNet,
+    MultiBTSUNet,
+    MultiFSBBTSUNet,
+)
+from multi_task_breast_cancer_tpu.models.nnunet import NNUNet2021
+from multi_task_breast_cancer_tpu.models.residual_unet import ResidualUNet
+from multi_task_breast_cancer_tpu.models.unetpp import (
+    BasicUNetPlusPlus,
+    MTUNetPlusPlus,
+    UNetPlusPlusClassifier,
+)
+
+SEGMENTATION_ARCHS = ("BTSUNet", "nnUNet", "UNet", "AttentionUNet", "ResidualUNet",
+                      "UnetPlusPlus", "FSBBTSUNet", "SegResNet")
+CLASSIFICATION_ARCHS = ("BTSUNetClassifier", "UNetPlusPlusClassifier", "nnUNetClassifier")
+MULTITASK_ARCHS = ("Multi_BTSUNet", "MTUNetPlusPlus", "MTnnUNet", "Multi_FSB_BTSUNet", "Adityan")
+
+
+def count_parameters(params) -> int:
+    """Number of trainable parameters in a pytree (reference
+    ``src/utils/models.py:561-569``)."""
+    return sum(int(jnp.size(p)) for p in jax.tree_util.tree_leaves(params))
+
+
+def save_model_summary(model: nn.Module, params, save_folder: Optional[Path]) -> None:
+    """Dump the module table to ``model.txt`` in the run dir (the reference
+    prints the torch module to ``model.txt``, ``experiment_init.py:75-78``)."""
+    if save_folder is None:
+        return
+    save_folder = Path(save_folder)
+    save_folder.mkdir(parents=True, exist_ok=True)
+    with (save_folder / "model.txt").open("w") as f:
+        print(model, file=f)
+        print(f"\nTotal number of trainable parameters: {count_parameters(params)}", file=f)
+
+
+def init_segmentation_model(architecture: str, sequences: int = 1, regions: int = 1,
+                            width: int = 48, deep_supervision: bool = False) -> nn.Module:
+    logging.info("Creating %s model (fed with %d sequences)", architecture, sequences)
+    if architecture == "BTSUNet":
+        return BTSUNet(regions=regions, width=width, deep_supervision=deep_supervision)
+    if architecture == "nnUNet":
+        return NNUNet2021(regions=regions)
+    if architecture == "UNet":
+        return UNet(regions=regions, channels=(width, 2 * width, 4 * width, 8 * width))
+    if architecture == "AttentionUNet":
+        return AttentionUNet(regions=regions, channels=(width, 2 * width, 4 * width, 8 * width))
+    if architecture == "ResidualUNet":
+        return ResidualUNet(regions=regions, width=width)
+    if architecture == "UnetPlusPlus":
+        return BasicUNetPlusPlus(regions=regions, deep_supervision=deep_supervision)
+    if architecture == "FSBBTSUNet":
+        return FSBBTSUNet(regions=regions, width=width, deep_supervision=deep_supervision)
+    if architecture == "SegResNet":
+        return SegResNet(regions=regions)
+    raise ValueError(
+        f"Unknown segmentation architecture {architecture!r}. "
+        f"Available: {SEGMENTATION_ARCHS}")
+
+
+def init_classification_model(architecture: str, sequences: int = 1, n_classes: int = 3,
+                              width: int = 48) -> nn.Module:
+    logging.info("Creating %s model (fed with %d sequences)", architecture, sequences)
+    if architecture == "BTSUNetClassifier":
+        return BTSUNetClassifier(n_classes=n_classes, width=width)
+    if architecture == "UNetPlusPlusClassifier":
+        return UNetPlusPlusClassifier(n_classes=n_classes)
+    if architecture == "nnUNetClassifier":
+        return NNUNetClassifier(n_classes=n_classes)
+    raise ValueError(
+        f"Unknown classification architecture {architecture!r}. "
+        f"Available: {CLASSIFICATION_ARCHS}")
+
+
+def init_multitask_model(architecture: str, sequences: int = 1, regions: int = 1,
+                         n_classes: int = 3, width: int = 48,
+                         deep_supervision: bool = False) -> nn.Module:
+    logging.info("Creating %s model (fed with %d sequences)", architecture, sequences)
+    if architecture == "Multi_BTSUNet":
+        return MultiBTSUNet(regions=regions, n_classes=n_classes, width=width,
+                            deep_supervision=deep_supervision)
+    if architecture == "MTUNetPlusPlus":
+        return MTUNetPlusPlus(regions=regions, n_classes=n_classes,
+                              deep_supervision=deep_supervision)
+    if architecture == "MTnnUNet":
+        return MTnnUNet(regions=regions, n_classes=n_classes)
+    if architecture == "Multi_FSB_BTSUNet":
+        return MultiFSBBTSUNet(regions=regions, width=width,
+                               deep_supervision=deep_supervision)
+    if architecture == "Adityan":
+        return Adityan(regions=regions, width=width)
+    raise ValueError(
+        f"Unknown multitask architecture {architecture!r}. "
+        f"Available: {MULTITASK_ARCHS}")

@@ -1,0 +1,20 @@
+"""Test configuration: force JAX onto CPU with 8 virtual devices so every
+multi-chip code path (mesh, sharding, collectives) is exercised without TPU
+hardware — the standard JAX answer to testing multi-device code in CI.
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1993)

@@ -1,0 +1,79 @@
+"""Jit-able joint geometric augmentation (random h/v flips + rotation).
+
+The reference builds a torchvision pipeline per driver
+(``training_multitask.py:193-197``: HFlip(p=.5) → VFlip(p=.5) →
+RandomRotation(360), nearest interpolation, fill 0) and applies it to the
+``cat([mask, image(+augment channels)])`` stack on CPU per sample per epoch
+(``BUSI_dataset.py:142-158``).
+
+Here the same joint transform is a pure function of a PRNG key, vmapped over
+the batch and fused into the jitted train step — augmentation costs one gather
+on-device instead of a Python/CPU pass.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def rotate_nearest(img: Array, angle_deg: Array) -> Array:
+    """Rotate (H, W, C) by ``angle_deg`` about the image centre, nearest
+    interpolation, zero fill — torchvision ``rotate`` semantics (its default
+    InterpolationMode.NEAREST, expand=False)."""
+    h, w = img.shape[0], img.shape[1]
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    theta = angle_deg * (jnp.pi / 180.0)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - cy
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - cx
+    # inverse mapping: output pixel ← source coordinate
+    ys = cos * yy + sin * xx + cy
+    xs = -sin * yy + cos * xx + cx
+    yr = jnp.round(ys).astype(jnp.int32)
+    xr = jnp.round(xs).astype(jnp.int32)
+    valid = (yr >= 0) & (yr < h) & (xr >= 0) & (xr < w)
+    yc = jnp.clip(yr, 0, h - 1)
+    xc = jnp.clip(xr, 0, w - 1)
+    out = img[yc, xc, :]
+    return jnp.where(valid[..., None], out, jnp.zeros_like(out))
+
+
+def joint_transform_single(stack: Array, key: jax.Array, *,
+                           p_hflip: float = 0.5, p_vflip: float = 0.5,
+                           max_angle: float = 360.0,
+                           enable_rotation: bool = True) -> Array:
+    """Apply the joint pipeline to one (H, W, C) stack whose channel 0 is the
+    mask — geometry stays aligned across mask/image/augment channels."""
+    k_h, k_v, k_r = jax.random.split(key, 3)
+    stack = jnp.where(jax.random.uniform(k_h) < p_hflip, stack[:, ::-1, :], stack)
+    stack = jnp.where(jax.random.uniform(k_v) < p_vflip, stack[::-1, :, :], stack)
+    if enable_rotation and max_angle > 0:
+        # torchvision RandomRotation(degrees=d) draws U(-d, d) and always rotates
+        angle = jax.random.uniform(k_r, minval=-max_angle, maxval=max_angle)
+        stack = rotate_nearest(stack, angle)
+    return stack
+
+
+@functools.partial(jax.jit, static_argnames=("p_hflip", "p_vflip", "max_angle",
+                                             "enable_rotation"))
+def joint_transform_batch(images: Array, masks: Array, key: jax.Array, *,
+                          p_hflip: float = 0.5, p_vflip: float = 0.5,
+                          max_angle: float = 360.0,
+                          enable_rotation: bool = True) -> Tuple[Array, Array]:
+    """Batched joint transform: images (B,H,W,C_img), masks (B,H,W,C_mask).
+
+    Returns transformed (images, masks) with identical per-sample geometry."""
+    n_mask = masks.shape[-1]
+    stack = jnp.concatenate([masks, images], axis=-1)
+    keys = jax.random.split(key, stack.shape[0])
+    fn = functools.partial(joint_transform_single, p_hflip=p_hflip,
+                           p_vflip=p_vflip, max_angle=max_angle,
+                           enable_rotation=enable_rotation)
+    out = jax.vmap(fn)(stack, keys)
+    return out[..., n_mask:], out[..., :n_mask]

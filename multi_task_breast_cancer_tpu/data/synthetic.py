@@ -1,0 +1,83 @@
+"""Synthetic BUSI fixture generator — fake ultrasound-like images + masks laid
+out exactly like the real raw/preprocessed BUSI trees, so every pipeline stage
+(preprocessing → mapping.csv → splits → training) runs on CPU CI with no data.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Tuple
+
+import numpy as np
+import pandas as pd
+
+CLASSES = ("benign", "malignant", "normal")
+
+
+def _blob_image(rng: np.random.Generator, size: int, with_tumor: bool
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Speckle-noise image; optional elliptical hypoechoic 'tumor' + its mask."""
+    img = (rng.normal(120, 40, (size, size))).clip(0, 255)
+    mask = np.zeros((size, size), np.uint8)
+    if with_tumor:
+        cy, cx = rng.integers(size // 4, 3 * size // 4, 2)
+        ry, rx = rng.integers(size // 10, size // 4, 2)
+        yy, xx = np.mgrid[0:size, 0:size]
+        ellipse = ((yy - cy) / max(ry, 1)) ** 2 + ((xx - cx) / max(rx, 1)) ** 2 <= 1
+        img[ellipse] = (img[ellipse] * 0.35)
+        mask[ellipse] = 255
+    return img.astype(np.uint8), mask
+
+
+def make_raw_busi(root: str | Path, n_per_class: int = 6, size: int = 64,
+                  seed: int = 0) -> Path:
+    """Create a raw ``Dataset_BUSI_with_GT``-style tree: per-class folders of
+    ``cls (i).png`` + ``cls (i)_mask.png`` (one image per class also gets a
+    ``_mask_1.png`` to exercise multi-mask merging)."""
+    import cv2
+    rng = np.random.default_rng(seed)
+    root = Path(root)
+    for cls in CLASSES:
+        d = root / cls
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(1, n_per_class + 1):
+            img, mask = _blob_image(rng, size, with_tumor=(cls != "normal"))
+            cv2.imwrite(str(d / f"{cls} ({i}).png"), img)
+            cv2.imwrite(str(d / f"{cls} ({i})_mask.png"), mask)
+            if i == 1 and cls != "normal":
+                _, mask2 = _blob_image(rng, size, with_tumor=True)
+                cv2.imwrite(str(d / f"{cls} ({i})_mask_1.png"), mask2)
+    return root
+
+
+def make_preprocessed_busi(root: str | Path, n_per_class: int = 8, size: int = 128,
+                           seed: int = 0) -> Path:
+    """Create a preprocessed tree directly (images/, masks/, mapping.csv) —
+    the layout ``config.data.input_img`` points at."""
+    import cv2
+    rng = np.random.default_rng(seed)
+    root = Path(root)
+    (root / "images").mkdir(parents=True, exist_ok=True)
+    (root / "masks").mkdir(parents=True, exist_ok=True)
+    rows = []
+    for cls in CLASSES:
+        for i in range(1, n_per_class + 1):
+            img, mask = _blob_image(rng, size, with_tumor=(cls != "normal"))
+            img_path = root / "images" / f"{cls}_id_{i}.png"
+            mask_path = root / "masks" / f"{cls}_id_{i}_mask.png"
+            cv2.imwrite(str(img_path), img)
+            cv2.imwrite(str(mask_path), mask)
+            ys, xs = np.nonzero(mask)
+            rows.append({
+                "img_path": str(img_path), "mask_path": str(mask_path),
+                "class": cls, "id": i, "dim1": size, "dim2": size,
+                "tumor_pixels": int((mask == 255).sum()),
+                "y_max": int(ys.max() + 1) if len(ys) else 0,
+                "y_min": int(ys.min()) if len(ys) else 0,
+                "x_max": int(xs.max() + 1) if len(xs) else 0,
+                "x_min": int(xs.min()) if len(xs) else 0,
+                "y_size": int(ys.max() + 1 - ys.min()) if len(ys) else 0,
+                "x_size": int(xs.max() + 1 - xs.min()) if len(xs) else 0,
+            })
+    pd.DataFrame(rows).to_csv(root / "mapping.csv", index=False)
+    return root

@@ -1,0 +1,8 @@
+"""Parallelism: device mesh construction and data-parallel sharding helpers."""
+
+from multi_task_breast_cancer_tpu.parallel.mesh import (  # noqa: F401
+    data_mesh,
+    device_count,
+    replicate_to_mesh,
+    shard_batch,
+)

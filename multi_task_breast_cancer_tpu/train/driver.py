@@ -1,0 +1,375 @@
+"""Generic experiment driver — one parameterised runner replacing the
+reference's six copy-pasted training scripts (``src/training_{segmentation,
+classification,multitask}[_prod].py``), with identical run-directory layout,
+metrics.csv schemas, checkpoint naming, plots, and final inference per task.
+
+Task × mode matrix:
+- task: 'segmentation' | 'classification' | 'multitask'
+- mode: 'CV' (train/val/test, best-val checkpoint, early stopping)
+       | 'CV_PROD' (train=train∪val, no validation, checkpoint every epoch,
+         scheduler steps on train loss, early stopping dead — reference quirk
+         ``training_multitask_prod.py:213-216`` preserved)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import shutil
+import sys
+import time
+from datetime import datetime
+from pathlib import Path
+from pprint import pformat
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from multi_task_breast_cancer_tpu.config import Config, DEFAULT_CONFIG_YAML
+from multi_task_breast_cancer_tpu.data.loader import FoldData, load_datasets
+from multi_task_breast_cancer_tpu.models import (
+    init_classification_model,
+    init_multitask_model,
+    init_segmentation_model,
+)
+from multi_task_breast_cancer_tpu.models.registry import save_model_summary
+from multi_task_breast_cancer_tpu.ops.image_ops import fill_holes as fill_holes_fn
+from multi_task_breast_cancer_tpu.ops.losses import check_finite_loss
+from multi_task_breast_cancer_tpu.ops.metrics import (
+    binary_classification_metrics,
+    dice_score,
+    multiclass_classification_metrics,
+)
+from multi_task_breast_cancer_tpu.parallel.mesh import data_mesh
+from multi_task_breast_cancer_tpu.train import inference as I
+from multi_task_breast_cancer_tpu.train.checkpoint import load_pretrained_model, save_checkpoint
+from multi_task_breast_cancer_tpu.train.loop import Engine, EngineConfig, plan_epoch_indices
+from multi_task_breast_cancer_tpu.train.optim import (
+    CosineAnnealingScheduler,
+    get_learning_rate,
+    init_lr_scheduler,
+    init_optimizer,
+    set_learning_rate,
+)
+from multi_task_breast_cancer_tpu.train.state import create_train_state
+from multi_task_breast_cancer_tpu.utils.miscellany import (
+    init_log,
+    save_classification_results,
+    save_segmentation_results,
+    seed_everything,
+    write_metrics_file,
+)
+from multi_task_breast_cancer_tpu.utils.visualization import plot_evolution
+
+
+def _build_model(cfg: Config, task: str):
+    n_augments = cfg.data.augmentation.n_active()
+    sequences = cfg.model.sequences + n_augments
+    n_classes = len(cfg.data.classes)
+    if task == "segmentation":
+        return init_segmentation_model(cfg.model.architecture, sequences=sequences,
+                                       width=cfg.model.width,
+                                       deep_supervision=cfg.model.deep_supervision)
+    if task == "classification":
+        return init_classification_model(cfg.model.architecture, sequences=sequences,
+                                         n_classes=n_classes, width=cfg.model.width)
+    return init_multitask_model(cfg.model.architecture, sequences=sequences,
+                                n_classes=n_classes, width=cfg.model.width,
+                                deep_supervision=cfg.model.deep_supervision)
+
+
+def quick_test_dice(engine: Engine, state, test_ds, fill_holes: bool = True) -> float:
+    """Per-image mean test DICE (the number the seg drivers log each epoch,
+    ``training_segmentation.py:179-196``) without the reference's per-epoch
+    PNG/Hausdorff overhead: one batched forward + host hole-filling."""
+    out = engine.predict(state, test_ds.images)
+    if engine.cfg.task == "multitask":
+        out = out[1]
+    final = out[-1] if isinstance(out, (tuple, list)) else out
+    probs = 1.0 / (1.0 + np.exp(-np.asarray(final[..., 0])))
+    dices = []
+    for i in range(len(test_ds)):
+        seg = (probs[i] > 0.5).astype(np.uint8)
+        if fill_holes:
+            seg = fill_holes_fn(seg)
+        gt = test_ds.masks[i, :, :, 0]
+        tp = float(np.logical_and(seg, gt).sum())
+        fp = float(np.logical_and(seg, 1 - gt).sum())
+        fn = float(np.logical_and(1 - seg, gt).sum())
+        dices.append(dice_score(tp, fp, fn, gt, seg))
+    return float(np.mean(dices))
+
+
+METRIC_HEADERS = {
+    ("segmentation", "CV"): "epoch,LR,Train,Validation,Test,Train_loss,Val_loss",
+    ("segmentation", "CV_PROD"): "epoch,LR,Train,Test,Train_loss",
+    ("classification", "CV"): "epoch,LR,Train_loss,Validation_loss,Train_acc,Train_F1,Validation_acc,Validation_F1",
+    ("classification", "CV_PROD"): "epoch,LR,Train_loss,Train_acc,Train_F1",
+    ("multitask", "CV"): "epoch,LR,Train_loss,Validation_loss,Train_dice,Validation_dice,Train_acc,Train_F1,Validation_acc,Validation_F1",
+    ("multitask", "CV_PROD"): "epoch,LR,Train_loss,Train_dice,Train_acc,Train_F1",
+}
+
+
+def _cls_f1(metrics: dict, task: str, n_classes: int) -> float:
+    """Reference F1 flavour: multitask logs weighted F1; the classification
+    driver logs micro (multiclass) / binary F1 (``training_classification.py:92``)."""
+    if task == "multitask":
+        return metrics["f1"]
+    return metrics["f1_micro"] if n_classes > 2 else metrics["f1_binary"]
+
+
+def run_experiment(cfg: Config, task: str, mode: str = "CV",
+                   config_src: Optional[str] = None, run_root: str = "runs",
+                   uclm_path: Optional[str] = None) -> str:
+    """Run the full k-fold experiment; returns the run directory path."""
+    init_time = time.perf_counter()
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+
+    if cfg.training.CV < 2:
+        sys.exit("This code is prepared for receiving a CV greater than 1")
+
+    root_key = seed_everything(cfg.training.seed)
+    host_rng = np.random.default_rng(cfg.training.seed)
+
+    n_classes = len(cfg.data.classes)
+    alpha_part = f"_alpha_{cfg.training.alpha}" if task == "multitask" else ""
+    run_path = (f"{run_root}/{timestamp}_{cfg.model.architecture}_{cfg.model.width}"
+                f"{alpha_part}_batch_{cfg.data.batch_size}_{'_'.join(cfg.data.classes)}")
+    Path(run_path).mkdir(parents=True, exist_ok=True)
+    init_log(log_name=f"{run_path}/execution.log")
+    if config_src and Path(config_src).exists():
+        shutil.copyfile(config_src, f"{run_path}/config.yaml")
+    else:
+        Path(f"{run_path}/config.yaml").write_text(DEFAULT_CONFIG_YAML)
+    logging.info(pformat(dataclasses.asdict(cfg)))
+
+    # reference seg-script quirk (``training_segmentation.py:113-120``): the
+    # rotation max-angle is sampled once at startup from U{0..359}
+    if task == "segmentation":
+        max_angle = float(np.random.choice(range(0, 360)))
+    else:
+        max_angle = 360.0
+
+    folds = load_datasets(cfg.training, cfg.data, mode=mode, uclm_path=uclm_path)
+    mesh = data_mesh() if cfg.training.data_parallel else None
+    if mesh is not None:
+        logging.info("Data parallelism over %d devices (mesh axes %s)",
+                     mesh.devices.size, mesh.axis_names)
+
+    header = METRIC_HEADERS[(task, mode)]
+
+    for n, fold in enumerate(folds):
+        logging.info("\n\n *********************  FOLD %d  ********************* \n\n", n)
+        fold_time = time.perf_counter()
+        for sub in ("segs", "plots", "features_map"):
+            Path(f"{run_path}/fold_{n}/{sub}").mkdir(parents=True, exist_ok=True)
+
+        model = _build_model(cfg, task)
+        tx = init_optimizer(cfg.optimizer.opt, cfg.optimizer.lr)
+        ecfg = EngineConfig(
+            task=task, n_classes=n_classes, batch_size=cfg.data.batch_size,
+            alpha=cfg.training.alpha,
+            inversely_weighted=cfg.loss.inversely_weighted,
+            seg_criterion=cfg.loss.function,
+            cls_criterion=cfg.loss.classification_criterion,
+            classes_weighted=cfg.data.classes_weighted,
+            max_angle=max_angle,
+            p_hflip=cfg.data.transforms.horizontal_flip,
+            p_vflip=cfg.data.transforms.vertical_flip,
+            compute_dtype=cfg.training.compute_dtype,
+        )
+        engine = Engine(model, tx, ecfg, mesh)
+
+        sample = jnp.zeros((1,) + fold.train.images.shape[1:], jnp.float32)
+        fold_key = jax.random.fold_in(root_key, n)
+        state = create_train_state(model, tx, fold_key, sample)
+        save_model_summary(model, state.params, Path(run_path))
+
+        scheduler = init_lr_scheduler(
+            cfg.optimizer.scheduler, cfg.optimizer.lr,
+            t_max=int(cfg.optimizer.t_max), factor=float(cfg.optimizer.decrease_factor),
+            min_lr=float(cfg.optimizer.min_lr), patience=int(cfg.optimizer.patience))
+
+        train_data = engine.device_data(fold.train)
+        val_data = engine.device_data(fold.val) if fold.val is not None else None
+        metrics_path = f"{run_path}/fold_{n}/metrics.csv"
+        write_metrics_file(metrics_path, header)
+
+        ckpt_suffix = ".tar" if task == "segmentation" else ""
+        ckpt_path = f"{run_path}/fold_{n}/model_{timestamp}_fold_{n}{ckpt_suffix}"
+
+        best_validation_loss = 1_000_000.0
+        patience = 0
+        for epoch in range(cfg.training.epochs):
+            current_lr = get_learning_rate(state.opt_state)
+            t0 = time.perf_counter()
+
+            perm = plan_epoch_indices(len(fold.train), cfg.data.batch_size, host_rng)
+            epoch_key = jax.random.fold_in(fold_key, epoch + 1)
+            state, tm = engine.train_epoch(state, train_data, perm, epoch_key)
+            check_finite_loss(tm["loss"])
+
+            vm = engine.eval_epoch(state, val_data) if val_data is not None else None
+            monitor = vm["loss"] if vm is not None else tm["loss"]
+            if vm is not None:
+                check_finite_loss(vm["loss"])
+
+            if isinstance(scheduler, CosineAnnealingScheduler):
+                scheduler.step()
+            else:
+                scheduler.step(monitor)
+            set_learning_rate(state.opt_state, scheduler.lr)
+
+            if mode == "CV_PROD":
+                # prod saves every epoch unconditionally (training_*_prod.py)
+                save_checkpoint(ckpt_path, state, epoch, best_validation_loss)
+            elif vm["loss"] < best_validation_loss:
+                patience = 0
+                best_validation_loss = vm["loss"]
+                save_checkpoint(ckpt_path, state, epoch, best_validation_loss)
+            else:
+                patience += 1
+
+            dt = time.perf_counter() - t0
+            if task == "segmentation":
+                test_dice = quick_test_dice(engine, state, fold.test)
+                if mode == "CV":
+                    logging.info(
+                        "EPOCH %d --> || Training loss %.4f || Validation loss %.4f "
+                        "|| Training DICE %.4f || Validation DICE  %.4f || Patience: %d "
+                        "|| Epoch time: %.4f || LR: %.8f", epoch, tm["loss"], vm["loss"],
+                        tm["dice"], vm["dice"], patience, dt, current_lr)
+                    line = (f"{epoch},{current_lr:.8f},{tm['dice']:.4f}, {vm['dice']:.4f},"
+                            f"{test_dice:.4f},{tm['loss']:.4f},{vm['loss']:.4f}")
+                else:
+                    logging.info(
+                        "EPOCH %d --> || Training loss %.4f || Training DICE %.4f "
+                        "|| Patience: %d || Epoch time: %.4f || LR: %.8f",
+                        epoch, tm["loss"], tm["dice"], patience, dt, current_lr)
+                    line = (f"{epoch},{current_lr:.8f},{tm['dice']:.4f},{test_dice:.4f},"
+                            f"{tm['loss']:.4f}")
+            elif task == "classification":
+                tf1 = _cls_f1(tm, task, n_classes)
+                if mode == "CV":
+                    vf1 = _cls_f1(vm, task, n_classes)
+                    logging.info(
+                        "EPOCH %d --> || Training loss %.4f || Validation loss %.4f "
+                        "|| Training ACC %.4f || Training F1 %.4f || Validation ACC %.4f "
+                        "|| Validation F1 %.4f || Patience: %d || Epoch time: %.4f",
+                        epoch, tm["loss"], vm["loss"], tm["acc"], tf1, vm["acc"], vf1,
+                        patience, dt)
+                    line = (f"{epoch},{current_lr:.8f},{tm['loss']:.4f},{vm['loss']:.4f},"
+                            f"{tm['acc']:.4f},{tf1:.4f},{vm['acc']:.4f},{vf1:.4f}")
+                else:
+                    logging.info(
+                        "EPOCH %d --> || Training loss %.4f || Training ACC %.4f "
+                        "|| Training F1 %.4f || Patience: %d || Epoch time: %.4f",
+                        epoch, tm["loss"], tm["acc"], tf1, patience, dt)
+                    line = f"{epoch},{current_lr:.8f},{tm['loss']:.4f},{tm['acc']:.4f},{tf1:.4f}"
+            else:  # multitask
+                if mode == "CV":
+                    logging.info(
+                        "EPOCH %d --> || Training loss %.4f || Validation loss %.4f "
+                        "|| Segmentation val loss %.4f || Classification val loss %.4f "
+                        "|| Training DICE %.4f || Validation DICE  %.4f || Training ACC %.4f "
+                        "|| Training F1 %.4f || Validation ACC %.4f || Validation F1 %.4f "
+                        "|| Patience: %d || Epoch time: %.4f || Best validation performance: %.4f",
+                        epoch, tm["loss"], vm["loss"], vm["seg_loss"], vm["cls_loss"],
+                        tm["dice"], vm["dice"], tm["acc"], tm["f1"], vm["acc"], vm["f1"],
+                        patience, dt, best_validation_loss)
+                    line = (f"{epoch},{current_lr:.8f},{tm['loss']:.4f},{vm['loss']:.4f},"
+                            f"{tm['dice']:.4f}, {vm['dice']:.4f},{tm['acc']:.4f},"
+                            f"{tm['f1']:.4f},{vm['acc']:.4f},{vm['f1']:.4f}")
+                else:
+                    logging.info(
+                        "EPOCH %d --> || Training loss %.4f || Training DICE %.4f "
+                        "|| Training ACC %.4f || Training F1 %.4f || Patience: %d "
+                        "|| Epoch time: %.4f", epoch, tm["loss"], tm["dice"],
+                        tm["acc"], tm["f1"], patience, dt)
+                    line = (f"{epoch},{current_lr:.8f},{tm['loss']:.4f},"
+                            f"{tm['dice']:.4f}, {tm['acc']:.4f},{tm['f1']:.4f}")
+            write_metrics_file(metrics_path, line)
+
+            if patience > cfg.training.max_patience:
+                logging.info("\nValidation loss did not improve over the last %d "
+                             "epochs. Stopping training", patience)
+                break
+
+        # evolution plots (CV mode; prod scripts have them commented out)
+        if mode == "CV":
+            metrics_df = pd.read_csv(metrics_path)
+            if task == "segmentation":
+                plot_evolution(metrics_df, ["Train", "Validation", "Test"],
+                               f"{run_path}/fold_{n}/plots/metrics_evolution.png",
+                               title="DICE coefficient", ylabel="DICE")
+                plot_evolution(metrics_df, ["Train_loss", "Val_loss"],
+                               f"{run_path}/fold_{n}/plots/loss_evolution.png",
+                               title="DICE loss function", ylabel="Loss DICE")
+            elif task == "classification":
+                plot_evolution(metrics_df, ["Train_loss", "Validation_loss"],
+                               f"{run_path}/fold_{n}/loss_evolution.png")
+                plot_evolution(metrics_df, ["Train_acc", "Train_F1", "Validation_acc",
+                                            "Validation_F1"],
+                               f"{run_path}/fold_{n}/classification_metrics_evolution.png")
+            else:
+                plot_evolution(metrics_df, ["Train_loss", "Validation_loss"],
+                               f"{run_path}/fold_{n}/loss_evolution.png")
+                plot_evolution(metrics_df, ["Train_dice", "Validation_dice"],
+                               f"{run_path}/fold_{n}/segmentation_metrics_evolution.png")
+                plot_evolution(metrics_df, ["Train_acc", "Train_F1", "Validation_acc",
+                                            "Validation_F1"],
+                               f"{run_path}/fold_{n}/classification_metrics_evolution.png")
+
+        # ------------------------------------------------------------------
+        # inference phase on the best checkpoint
+        # ------------------------------------------------------------------
+        logging.info("\n\n ###############  TESTING PHASE  ###############  \n\n")
+        state = load_pretrained_model(state, ckpt_path)
+        fold_dir = f"{run_path}/fold_{n}"
+
+        if task == "segmentation":
+            test_results = I.inference_binary_segmentation(engine, state, fold.test, fold_dir)
+            logging.info("%s", test_results.mean(numeric_only=True))
+        elif task == "classification":
+            if n_classes <= 2:
+                cls_results = I.inference_binary_classification(engine, state, fold.test, fold_dir)
+                logging.info("\nClassification metrics:\n\n%s", pformat(
+                    binary_classification_metrics(cls_results.ground_truth,
+                                                  cls_results.predicted_label)))
+            else:
+                cls_results = I.inference_multiclass_classification(engine, state, fold.test, fold_dir)
+                logging.info("\nClassification metrics:\n\n%s", pformat(
+                    multiclass_classification_metrics(cls_results.ground_truth,
+                                                      cls_results.predicted_label)))
+        else:
+            if n_classes <= 2:
+                seg_res, cls_res = I.inference_multitask_binary(engine, state, fold.test, fold_dir)
+                logging.info("Segmentation metric:\n\n%s\n", seg_res.mean(numeric_only=True))
+                logging.info("\nClassification metrics:\n\n%s", pformat(
+                    binary_classification_metrics(cls_res.ground_truth,
+                                                  cls_res.predicted_label)))
+            else:
+                seg_res, cls_res = I.inference_multitask_multiclass(
+                    engine, state, fold.test, fold_dir,
+                    threshold=cfg.training.threshold_postprocessing,
+                    overlap_seg_based_on_class=cfg.training.overlap_seg_based_on_class,
+                    overlap_class_based_on_seg=cfg.training.overlap_class_based_on_seg)
+                logging.info("Segmentation metric:\n\n%s\n", seg_res.mean(numeric_only=True))
+                logging.info("\nClassification metrics:\n\n%s", pformat(
+                    multiclass_classification_metrics(cls_res.ground_truth,
+                                                      cls_res.predicted_label)))
+
+        logging.info("Total time for fold %d: %.2f", n, time.perf_counter() - fold_time)
+        del state, engine
+
+    # cross-fold result sheets
+    if task in ("segmentation", "multitask"):
+        save_segmentation_results(run_path)
+    if task in ("classification", "multitask"):
+        save_classification_results(run_path, n_classes)
+
+    logging.info("Total time for all of the folds: %.2f", time.perf_counter() - init_time)
+    return run_path

@@ -1,0 +1,303 @@
+"""The jitted training engine.
+
+TPU-first design (vs the reference's per-batch Python loop with host↔device
+syncs every step, ``src/training_multitask.py:74-159``):
+
+- the whole fold lives in HBM; a **full epoch is one jitted ``lax.scan``** over
+  batch index slices — zero host transfers inside the epoch;
+- augmentation is part of the scanned step (pure function of a per-step key);
+- epoch metrics (loss sums, batch Dice, classification confusion matrix)
+  accumulate on device and sync to host once per epoch;
+- data parallelism: batches get a ``NamedSharding(P('data'))`` constraint so
+  XLA shards the step across the mesh and inserts the gradient all-reduce over
+  ICI automatically (no hand-written collectives needed at this model scale);
+- static shapes: the oversampled index array is padded to ``steps·B`` by
+  wrap-around so every scan step sees identical shapes (the reference's final
+  partial batch would force a recompile).
+
+Tasks: 'segmentation' | 'classification' | 'multitask', covering the six
+reference drivers (CV and CV_PROD modes share these epoch functions).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+from flax.core import FrozenDict
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multi_task_breast_cancer_tpu.data.augment import joint_transform_single
+from multi_task_breast_cancer_tpu.data.dataset import ArrayDataset
+from multi_task_breast_cancer_tpu.ops import losses as L
+from multi_task_breast_cancer_tpu.ops import metrics as M
+from multi_task_breast_cancer_tpu.train.state import TrainState
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    task: str                      # 'segmentation' | 'classification' | 'multitask'
+    n_classes: int = 3
+    batch_size: int = 2
+    alpha: float = 0.35            # multitask loss weight: α·seg + (1-α)·cls
+    inversely_weighted: bool = True
+    seg_criterion: str = "DICE"
+    cls_criterion: str = "Focal"
+    classes_weighted: Optional[list] = None
+    # joint geometric transforms (reference driver pipeline)
+    use_transforms: bool = True
+    p_hflip: float = 0.5
+    p_vflip: float = 0.5
+    max_angle: float = 360.0
+    compute_dtype: str = "float32"  # 'bfloat16' casts activations for the MXU
+
+
+def make_cls_targets(labels: np.ndarray, n_classes: int) -> np.ndarray:
+    """Reference target encoding: multiclass → one-hot float (``training_
+    multitask.py:83-84``); binary → (B,1) float labels."""
+    if n_classes > 2:
+        return np.eye(n_classes, dtype=np.float32)[labels]
+    return labels.astype(np.float32)[:, None]
+
+
+def plan_epoch_indices(n: int, batch_size: int, rng: np.random.Generator) -> np.ndarray:
+    """Shuffled index array padded to steps·B by wrap-around (static shapes)."""
+    perm = rng.permutation(n)
+    steps = -(-n // batch_size)
+    pad = steps * batch_size - n
+    if pad:
+        perm = np.concatenate([perm, perm[:pad]])
+    return perm.astype(np.int32)
+
+
+class Engine:
+    """Builds and caches the jitted epoch/eval/predict functions for one model
+    + task configuration."""
+
+    def __init__(self, model: nn.Module, tx: optax.GradientTransformation,
+                 cfg: EngineConfig, mesh: Optional[Mesh] = None):
+        self.model = model
+        self.tx = tx
+        self.cfg = cfg
+        self.mesh = mesh
+        self._seg_crit = L.init_criterion_segmentation(cfg.seg_criterion)
+        self._cls_crit = L.init_criterion_classification(
+            cfg.n_classes, cfg.classes_weighted, cfg.cls_criterion)
+        self._train_epoch = jax.jit(self._train_epoch_impl, donate_argnums=(0,))
+        self._eval_epoch = jax.jit(self._eval_epoch_impl)
+        self._predict = jax.jit(self._predict_impl)
+
+    # ------------------------------------------------------------------
+    # forward + loss
+    # ------------------------------------------------------------------
+
+    def _apply(self, params, batch_stats, images, *, train: bool, rng=None):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        x = images
+        if self.cfg.compute_dtype == "bfloat16":
+            x = x.astype(jnp.bfloat16)
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        if train:
+            out, updates = self.model.apply(variables, x, train=True, rngs=rngs,
+                                            mutable=["batch_stats"])
+            new_bs = updates.get("batch_stats", batch_stats)
+            return out, new_bs
+        return self.model.apply(variables, x, train=False), batch_stats
+
+    @staticmethod
+    def _as_f32(tree):
+        return jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), tree)
+
+    def _losses(self, out, masks, cls_targets) -> Tuple[Array, Dict[str, Array]]:
+        cfg = self.cfg
+        out = self._as_f32(out)
+        if cfg.task == "segmentation":
+            seg = out
+            loss = L.apply_criterion_binary_segmentation(
+                self._seg_crit, masks, seg, cfg.inversely_weighted)
+            return loss, {"seg_out": seg}
+        if cfg.task == "classification":
+            loss = L.apply_criterion_classification(self._cls_crit, cls_targets, out)
+            return loss, {"cls_out": out}
+        cls, seg = out
+        seg_loss, cls_loss = L.apply_criterion_multitask(
+            self._seg_crit, masks, seg, self._cls_crit, cls_targets, cls,
+            cfg.inversely_weighted)
+        loss = cfg.alpha * seg_loss + (1 - cfg.alpha) * cls_loss
+        return loss, {"seg_out": seg, "cls_out": cls, "seg_loss": seg_loss,
+                      "cls_loss": cls_loss}
+
+    @staticmethod
+    def _final_seg_head(seg_out):
+        return seg_out[-1] if isinstance(seg_out, (tuple, list)) else seg_out
+
+    @staticmethod
+    def _mean_cls_head(cls_out):
+        """Deep-supervised cls lists are averaged for prediction
+        (``training_multitask.py:36-37``)."""
+        if isinstance(cls_out, (tuple, list)):
+            return jnp.mean(jnp.stack(cls_out, axis=0), axis=0)
+        return cls_out
+
+    def _step_metrics(self, aux, masks, labels_int, cm) -> Dict[str, Array]:
+        cfg = self.cfg
+        out: Dict[str, Array] = {}
+        if "seg_out" in aux:
+            out["dice"] = M.dice_from_logits_batch(masks, self._final_seg_head(aux["seg_out"]))
+        if "cls_out" in aux:
+            logits = self._mean_cls_head(aux["cls_out"])
+            preds = M.predicted_labels_from_logits(logits, cfg.n_classes)
+            out["cm"] = M.confusion_matrix_update(cm, labels_int, preds,
+                                                  max(cfg.n_classes, 2))
+        return out
+
+    # ------------------------------------------------------------------
+    # jitted epoch bodies
+    # ------------------------------------------------------------------
+
+    def _shard_batch(self, *arrays):
+        if self.mesh is None:
+            return arrays
+        spec = NamedSharding(self.mesh, P("data"))
+        return tuple(jax.lax.with_sharding_constraint(a, spec) for a in arrays)
+
+    def _train_epoch_impl(self, state: TrainState, images, masks, cls_targets,
+                          labels_int, perm, key):
+        cfg = self.cfg
+        B = cfg.batch_size
+        steps = perm.shape[0] // B
+        idx = perm.reshape(steps, B)
+        keys = jax.random.split(key, steps)
+        n_cm = max(cfg.n_classes, 2)
+
+        def body(carry, xs):
+            state, sums = carry
+            batch_idx, k = xs
+            imgs = jnp.take(images, batch_idx, axis=0)
+            msks = jnp.take(masks, batch_idx, axis=0)
+            ctgt = jnp.take(cls_targets, batch_idx, axis=0)
+            lint = jnp.take(labels_int, batch_idx, axis=0)
+            imgs, msks, ctgt = self._shard_batch(imgs, msks, ctgt)
+
+            k_aug, k_drop = jax.random.split(k)
+            if cfg.use_transforms:
+                n_mask = msks.shape[-1]
+                stack = jnp.concatenate([msks, imgs], axis=-1)
+                skeys = jax.random.split(k_aug, stack.shape[0])
+                fn = functools.partial(joint_transform_single, p_hflip=cfg.p_hflip,
+                                       p_vflip=cfg.p_vflip, max_angle=cfg.max_angle)
+                stack = jax.vmap(fn)(stack, skeys)
+                msks, imgs = stack[..., :n_mask], stack[..., n_mask:]
+
+            def loss_fn(params):
+                out, new_bs = self._apply(params, state.batch_stats, imgs,
+                                          train=True, rng=k_drop)
+                loss, aux = self._losses(out, msks, ctgt)
+                return loss, (aux, new_bs)
+
+            (loss, (aux, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            state = TrainState(params=new_params, batch_stats=new_bs,
+                               opt_state=new_opt, step=state.step + 1)
+
+            sm = self._step_metrics(aux, msks, lint, sums["cm"])
+            sums = {
+                "loss": sums["loss"] + loss,
+                "seg_loss": sums["seg_loss"] + aux.get("seg_loss", 0.0),
+                "cls_loss": sums["cls_loss"] + aux.get("cls_loss", 0.0),
+                "dice": sums["dice"] + sm.get("dice", 0.0),
+                "cm": sm.get("cm", sums["cm"]),
+            }
+            return (state, sums), None
+
+        init = {"loss": jnp.zeros(()), "seg_loss": jnp.zeros(()),
+                "cls_loss": jnp.zeros(()), "dice": jnp.zeros(()),
+                "cm": jnp.zeros((n_cm, n_cm))}
+        (state, sums), _ = jax.lax.scan(body, (state, init), (idx, keys))
+
+        metrics = {
+            "loss": sums["loss"] / steps,
+            "seg_loss": sums["seg_loss"] / steps,
+            "cls_loss": sums["cls_loss"] / steps,
+            "dice": sums["dice"] / steps,
+            "acc": M.accuracy_from_cm(sums["cm"]),
+            "f1": M.f1_weighted_from_cm(sums["cm"]),
+            # flavour used by the classification driver: micro-F1 over a fixed
+            # label set equals accuracy; binary F1 takes class 1 as positive
+            "f1_micro": M.accuracy_from_cm(sums["cm"]),
+            "f1_binary": self._binary_f1(sums["cm"]),
+        }
+        return state, metrics
+
+    @staticmethod
+    def _binary_f1(cm):
+        tp = cm[1, 1]
+        fp = cm[0, 1]
+        fn = cm[1, 0]
+        return 2 * tp / jnp.maximum(2 * tp + fp + fn, 1e-12)
+
+    def _eval_epoch_impl(self, state: TrainState, images, masks, cls_targets,
+                         labels_int):
+        """Validation pass: the whole split as one batch (val sets are tiny;
+        statistically equivalent to the reference's mean-over-batches)."""
+        cfg = self.cfg
+        n_cm = max(cfg.n_classes, 2)
+        (images, masks, cls_targets) = self._shard_batch(images, masks, cls_targets)
+        out, _ = self._apply(state.params, state.batch_stats, images, train=False)
+        loss, aux = self._losses(out, masks, cls_targets)
+        sm = self._step_metrics(aux, masks, labels_int, jnp.zeros((n_cm, n_cm)))
+        has_cm = "cm" in sm
+        return {
+            "loss": loss,
+            "seg_loss": aux.get("seg_loss", jnp.zeros(())),
+            "cls_loss": aux.get("cls_loss", jnp.zeros(())),
+            "dice": sm.get("dice", jnp.zeros(())),
+            "acc": M.accuracy_from_cm(sm["cm"]) if has_cm else jnp.zeros(()),
+            "f1": M.f1_weighted_from_cm(sm["cm"]) if has_cm else jnp.zeros(()),
+            "f1_micro": M.accuracy_from_cm(sm["cm"]) if has_cm else jnp.zeros(()),
+            "f1_binary": self._binary_f1(sm["cm"]) if has_cm else jnp.zeros(()),
+        }
+
+    def _predict_impl(self, state: TrainState, images):
+        out, _ = self._apply(state.params, state.batch_stats, images, train=False)
+        return self._as_f32(out)
+
+    # ------------------------------------------------------------------
+    # public API (host-side, converts once per epoch)
+    # ------------------------------------------------------------------
+
+    def train_epoch(self, state: TrainState, data: Dict[str, Any], perm: np.ndarray,
+                    key: jax.Array) -> Tuple[TrainState, Dict[str, float]]:
+        state, metrics = self._train_epoch(
+            state, data["images"], data["masks"], data["cls_targets"],
+            data["labels_int"], jnp.asarray(perm), key)
+        return state, {k: float(v) for k, v in metrics.items()}
+
+    def eval_epoch(self, state: TrainState, data: Dict[str, Any]) -> Dict[str, float]:
+        metrics = self._eval_epoch(state, data["images"], data["masks"],
+                                   data["cls_targets"], data["labels_int"])
+        return {k: float(v) for k, v in metrics.items()}
+
+    def predict(self, state: TrainState, images) -> Any:
+        return self._predict(state, jnp.asarray(images))
+
+    def device_data(self, ds: ArrayDataset) -> Dict[str, Any]:
+        """Transfer one split to device arrays (once per fold)."""
+        return {
+            "images": jnp.asarray(ds.images),
+            "masks": jnp.asarray(ds.masks),
+            "cls_targets": jnp.asarray(make_cls_targets(ds.labels, self.cfg.n_classes)),
+            "labels_int": jnp.asarray(ds.labels),
+        }

@@ -1,0 +1,104 @@
+"""Run bookkeeping: logging, seeding, metrics files, cross-fold result sheets.
+
+Artifact contract mirrors ``src/utils/miscellany.py``: same log format, same
+``metrics.csv`` append semantics, same per-run Excel outputs with fold columns,
+mean/std and a LaTeX ``mean $\\pm$ std`` column.
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+import random
+from pathlib import Path
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+
+from multi_task_breast_cancer_tpu.ops.metrics import (
+    binary_classification_metrics,
+    multiclass_classification_metrics,
+)
+from multi_task_breast_cancer_tpu.utils.xlsx import write_xlsx
+
+
+def init_log(log_name: str) -> None:
+    """File+console logging, reference format (``miscellany.py:55-75``)."""
+    logging.basicConfig(
+        level=logging.INFO,
+        format="[%(asctime)s] - [%(levelname)s] - [%(filename)s:%(lineno)s] --- %(message)s",
+        datefmt="%Y-%m-%d %H:%M:%S",
+        filename=log_name,
+        filemode="a",
+        force=True,
+    )
+    console = logging.StreamHandler()
+    console.setLevel(logging.INFO)
+    logging.getLogger().addHandler(console)
+
+
+def seed_everything(seed: int) -> "jax.Array":
+    """Seed host RNGs and return the root JAX PRNG key. JAX itself is
+    deterministic given the key — the torch/cudnn knobs of the reference
+    (``miscellany.py:78-96``) have no TPU analogue to toggle."""
+    import jax
+    os.environ["PYTHONHASHSEED"] = str(seed)
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def write_metrics_file(path_file: str, text_to_write: str, close: bool = True) -> None:
+    """Append one line (``miscellany.py:155-169``)."""
+    with open(path_file, "a") as fm:
+        fm.write(text_to_write)
+        fm.write("\n")
+
+
+def save_segmentation_results(path: str) -> None:
+    """Cross-fold mean/std/LaTeX sheet from per-fold results_segmentation.csv
+    (``miscellany.py:99-121``)."""
+    results = []
+    for n, f in enumerate(sorted(glob.glob(path + "/fold*/results_segmentation.csv"))):
+        df = pd.read_csv(f)
+        df["fold"] = n
+        results.append(df)
+    if not results:
+        logging.warning("save_segmentation_results: no fold results under %s", path)
+        return
+    df = pd.concat(results)
+    grouped = (df.drop(columns=["patient_id", "class"], errors="ignore")
+                 .groupby("fold").mean(numeric_only=True)
+                 .reset_index().drop(columns="fold").T)
+    grouped.columns = [f"fold {c}" for c in grouped.columns]
+    grouped["mean"] = grouped.mean(axis=1)
+    grouped["std"] = grouped.std(axis=1)
+    grouped["latex"] = (round(grouped["mean"], 3).astype(str).str.ljust(5, "0")
+                        + " $\\pm$ "
+                        + round(grouped["std"], 3).astype(str).str.ljust(5, "0"))
+    write_xlsx(path + "/results_segmentation.xlsx", grouped.reset_index(), index=False)
+
+
+def save_classification_results(path: str, n_classes: int) -> None:
+    """Cross-fold classification sheet (``miscellany.py:124-152``)."""
+    results = []
+    for f in sorted(glob.glob(path + "/fold*/results_classification.csv")):
+        df = pd.read_csv(f)
+        if n_classes <= 2:
+            metric = binary_classification_metrics(df.ground_truth, df.predicted_label)
+        else:
+            metric = multiclass_classification_metrics(df.ground_truth, df.predicted_label)
+        results.append(pd.DataFrame([metric]))
+    if not results:
+        logging.warning("save_classification_results: no fold results under %s", path)
+        return
+    grouped = pd.concat(results).T
+    grouped.columns = [f"fold {c}" for c in grouped.columns]
+    grouped["mean"] = grouped.mean(axis=1)
+    grouped["std"] = grouped.std(axis=1)
+    grouped["latex"] = (round(grouped["mean"], 3).astype(str).str.ljust(5, "0")
+                        + " $\\pm$ "
+                        + round(grouped["std"], 3).astype(str).str.ljust(5, "0"))
+    write_xlsx(path + "/classification_results.xlsx", grouped.reset_index(), index=False)

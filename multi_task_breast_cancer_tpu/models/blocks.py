@@ -114,11 +114,21 @@ class InstanceNorm(nn.Module):
         return y
 
 
+def _use_pallas_fused_norm() -> bool:
+    """Opt-in fused Pallas InstanceNorm+LeakyReLU (MTBC_PALLAS=1, TPU only)."""
+    import os
+    if os.environ.get("MTBC_PALLAS", "0") != "1":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 class ConvInNormLeReLU(nn.Module):
     """conv3x3(bias=False) → InstanceNorm → LeakyReLU(0.01).
 
     Behavioural twin of the reference's ConvInNormLeReLU stack
-    (``src/models/segmentation/BTS_UNet.py:19-39``).
+    (``src/models/segmentation/BTS_UNet.py:19-39``). With ``MTBC_PALLAS=1`` the
+    norm+activation epilogue runs as one fused Pallas VMEM pass
+    (``ops.pallas_kernels.instance_norm_leaky_relu``).
     """
 
     features: int
@@ -127,6 +137,11 @@ class ConvInNormLeReLU(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = conv3x3(self.features, name="conv")(x)
+        if _use_pallas_fused_norm():
+            from multi_task_breast_cancer_tpu.ops.pallas_kernels import (
+                instance_norm_leaky_relu,
+            )
+            return instance_norm_leaky_relu(x, 1e-5, self.negative_slope)
         x = InstanceNorm(name="norm")(x)
         return nn.leaky_relu(x, self.negative_slope)
 

@@ -62,6 +62,7 @@ from multi_task_breast_cancer_tpu.utils.miscellany import (
     seed_everything,
     write_metrics_file,
 )
+from multi_task_breast_cancer_tpu.utils.profiling import maybe_profile
 from multi_task_breast_cancer_tpu.utils.visualization import plot_evolution
 
 
@@ -209,7 +210,8 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
 
             perm = plan_epoch_indices(len(fold.train), cfg.data.batch_size, host_rng)
             epoch_key = jax.random.fold_in(fold_key, epoch + 1)
-            state, tm = engine.train_epoch(state, train_data, perm, epoch_key)
+            with maybe_profile(epoch, n):
+                state, tm = engine.train_epoch(state, train_data, perm, epoch_key)
             check_finite_loss(tm["loss"])
 
             vm = engine.eval_epoch(state, val_data) if val_data is not None else None

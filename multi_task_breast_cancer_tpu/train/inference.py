@@ -224,6 +224,62 @@ def inference_multitask_multiclass(engine, state, test_ds: ArrayDataset, path: s
     return results, metrics_df
 
 
+def save_multilabel_segmentation(seg: np.ndarray, path: str) -> None:
+    """Integer-label PNG (``models.py:530-552``)."""
+    import cv2
+    seg = np.asarray(seg)
+    while seg.ndim > 2:
+        seg = seg[..., 0] if seg.shape[-1] == 1 else seg[0]
+    cv2.imwrite(path, seg.astype(np.uint8))
+
+
+def inference_multilabel_segmentation(engine, state, test_ds: ArrayDataset,
+                                      path: str, postprocessing: bool = False
+                                      ) -> pd.DataFrame:
+    """Semantic-segmentation inference (``models.py:103-183``): softmax over
+    class channels, argmax labels, per-region metrics, majority-class pixel
+    vote for the predicted class, optional majority-relabel postprocessing."""
+    from multi_task_breast_cancer_tpu.ops.image_ops import (
+        postprocess_semantic_segmentation,
+    )
+    from multi_task_breast_cancer_tpu.ops.metrics import (
+        calculate_metrics_multiclass_segmentation,
+    )
+
+    _, seg_out = _forward_seg(engine, state, test_ds)
+    heads = _seg_heads_np(seg_out)
+    final = heads[-1] if isinstance(heads, list) else heads
+
+    rows = []
+    for i in range(len(test_ds)):
+        pid = int(test_ds.patient_ids[i])
+        label = test_ds.class_names[i]
+        pred = np.argmax(_softmax(final[i], axis=-1), axis=-1)  # (H, W) labels
+        gt = np.argmax(test_ds.masks[i], axis=-1)
+        pred_pp = postprocess_semantic_segmentation(pred) if postprocessing else pred
+
+        counter = count_pixels(pred)
+        benign_pixels, malignant_pixels = counter.get(1, 0), counter.get(2, 0)
+        predicted_class = "benign" if benign_pixels >= malignant_pixels else "malignant"
+
+        metrics = calculate_metrics_multiclass_segmentation(gt, pred_pp, pid)
+        metrics["class"] = label
+        metrics["predicted_class"] = predicted_class
+        rows.append(metrics)
+
+        save_multilabel_segmentation(pred, f"{path}/segs/{label}_{pid}_seg.png")
+        if postprocessing:
+            save_multilabel_segmentation(
+                pred_pp, f"{path}/segs/{label}_{pid}_seg_postprocessed.png")
+
+    results = pd.DataFrame(rows)
+    mapping_class = {"benign": 0, "malignant": 1}
+    results["numerical_class"] = results["class"].map(mapping_class)
+    results["numerical_class_predicted"] = results["predicted_class"].map(mapping_class)
+    results.to_csv(f"{path}/results.csv", index=False)
+    return results
+
+
 def inference_multiclass_classification(engine, state, test_ds: ArrayDataset,
                                         path: str) -> pd.DataFrame:
     """``models.py:400-456`` equivalent."""

@@ -49,15 +49,40 @@ def joint_transform_single(stack: Array, key: jax.Array, *,
                            max_angle: float = 360.0,
                            enable_rotation: bool = True) -> Array:
     """Apply the joint pipeline to one (H, W, C) stack whose channel 0 is the
-    mask — geometry stays aligned across mask/image/augment channels."""
+    mask — geometry stays aligned across mask/image/augment channels.
+
+    The three ops (hflip → vflip → rotate) compose into ONE inverse affine map
+    and a single gather: out(p) = Flip(img)(R⁻¹p) = img(F(R⁻¹p)). One memory
+    pass instead of two conditional flip copies plus a rotation gather."""
+    h, w = stack.shape[0], stack.shape[1]
     k_h, k_v, k_r = jax.random.split(key, 3)
-    stack = jnp.where(jax.random.uniform(k_h) < p_hflip, stack[:, ::-1, :], stack)
-    stack = jnp.where(jax.random.uniform(k_v) < p_vflip, stack[::-1, :, :], stack)
+    flip_h = jax.random.uniform(k_h) < p_hflip
+    flip_v = jax.random.uniform(k_v) < p_vflip
     if enable_rotation and max_angle > 0:
         # torchvision RandomRotation(degrees=d) draws U(-d, d) and always rotates
         angle = jax.random.uniform(k_r, minval=-max_angle, maxval=max_angle)
-        stack = rotate_nearest(stack, angle)
-    return stack
+    else:
+        angle = jnp.zeros(())
+
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    theta = angle * (jnp.pi / 180.0)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - cy
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - cx
+    ys = cos * yy + sin * xx + cy
+    xs = -sin * yy + cos * xx + cx
+    # flip about the centre in source space: q' = s·q + (1-s)·(S-1)/2
+    sy = jnp.where(flip_v, -1.0, 1.0)
+    sx = jnp.where(flip_h, -1.0, 1.0)
+    ys = sy * ys + (1.0 - sy) * cy
+    xs = sx * xs + (1.0 - sx) * cx
+    yr = jnp.round(ys).astype(jnp.int32)
+    xr = jnp.round(xs).astype(jnp.int32)
+    valid = (yr >= 0) & (yr < h) & (xr >= 0) & (xr < w)
+    yc = jnp.clip(yr, 0, h - 1)
+    xc = jnp.clip(xr, 0, w - 1)
+    out = stack[yc, xc, :]
+    return jnp.where(valid[..., None], out, jnp.zeros_like(out))
 
 
 @functools.partial(jax.jit, static_argnames=("p_hflip", "p_vflip", "max_angle",

@@ -104,9 +104,12 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        # statistics in f32 even under bf16 mixed precision (variance of
+        # bf16 sums loses too many bits over 128² pixels)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+        y = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
         if self.affine:
             scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
             bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
@@ -139,9 +142,14 @@ class ConvInNormLeReLU(nn.Module):
         x = conv3x3(self.features, name="conv")(x)
         if _use_pallas_fused_norm():
             from multi_task_breast_cancer_tpu.ops.pallas_kernels import (
+                fits_vmem,
                 instance_norm_leaky_relu,
             )
-            return instance_norm_leaky_relu(x, 1e-5, self.negative_slope)
+            b, h, w, c = x.shape
+            # lane-dim padding makes narrow-channel planes VMEM-hungry; the
+            # fused kernel only pays off on the deep, wide levels
+            if fits_vmem(h * w, c):
+                return instance_norm_leaky_relu(x, 1e-5, self.negative_slope)
         x = InstanceNorm(name="norm")(x)
         return nn.leaky_relu(x, self.negative_slope)
 

@@ -57,6 +57,23 @@ def _bwd_kernel(x_ref, g_ref, dx_ref, *, eps: float, slope: float):
     dx_ref[0] = rstd * (dxhat - m1 - xhat * m2)
 
 
+def _padded_block_bytes(hw: int, c: int, itemsize: int = 4) -> int:
+    """VMEM footprint of one (1, hw, c) block after TPU tiling: the lane
+    (last) dim pads to a multiple of 128, the sublane dim to 8."""
+    lanes = -(-c // 128) * 128
+    sublanes = -(-hw // 8) * 8
+    return sublanes * lanes * itemsize
+
+
+def fits_vmem(hw: int, c: int, n_buffers: int = 8,
+              budget_bytes: int = 8 * 1024 * 1024) -> bool:
+    """Whether the fused kernel's working set fits comfortably in VMEM for
+    this plane shape. Budget accounts for the backward kernel's 3 operands,
+    double buffering, and compiler temporaries (measured: the bwd kernel's
+    scoped stack is ~8× one padded block)."""
+    return n_buffers * _padded_block_bytes(hw, c) <= budget_bytes
+
+
 def _block_call(kernel, out_shape, *inputs, interpret: bool):
     b, hw, c = inputs[0].shape
     if _HAS_PLTPU and not interpret:
@@ -67,7 +84,7 @@ def _block_call(kernel, out_shape, *inputs, interpret: bool):
     kwargs = {}
     if _HAS_PLTPU and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=int(3 * (hw * c * 4) + 1024 * 1024))
+            vmem_limit_bytes=int(12 * _padded_block_bytes(hw, c) + 2 * 1024 * 1024))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(out_shape, inputs[0].dtype),

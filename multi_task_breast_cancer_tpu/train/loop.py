@@ -100,12 +100,18 @@ class Engine:
     # ------------------------------------------------------------------
 
     def _apply(self, params, batch_stats, images, *, train: bool, rng=None):
+        x = images
+        if self.cfg.compute_dtype == "bfloat16":
+            # true mixed precision: bf16 params + activations on the MXU;
+            # master params stay f32 in the optimizer (normalisation layers
+            # compute their statistics in f32 internally — see InstanceNorm)
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, params)
+            x = x.astype(jnp.bfloat16)
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        x = images
-        if self.cfg.compute_dtype == "bfloat16":
-            x = x.astype(jnp.bfloat16)
         rngs = {"dropout": rng} if (train and rng is not None) else None
         if train:
             out, updates = self.model.apply(variables, x, train=True, rngs=rngs,

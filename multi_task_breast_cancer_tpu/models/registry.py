@@ -28,6 +28,7 @@ from multi_task_breast_cancer_tpu.models.multitask import (
 )
 from multi_task_breast_cancer_tpu.models.nnunet import NNUNet2021
 from multi_task_breast_cancer_tpu.models.residual_unet import ResidualUNet
+from multi_task_breast_cancer_tpu.models.swin_unetr import SwinUNETR
 from multi_task_breast_cancer_tpu.models.unetpp import (
     BasicUNetPlusPlus,
     MTUNetPlusPlus,
@@ -35,7 +36,7 @@ from multi_task_breast_cancer_tpu.models.unetpp import (
 )
 
 SEGMENTATION_ARCHS = ("BTSUNet", "nnUNet", "UNet", "AttentionUNet", "ResidualUNet",
-                      "UnetPlusPlus", "FSBBTSUNet", "SegResNet")
+                      "UnetPlusPlus", "FSBBTSUNet", "SegResNet", "SwinUNETR")
 CLASSIFICATION_ARCHS = ("BTSUNetClassifier", "UNetPlusPlusClassifier", "nnUNetClassifier")
 MULTITASK_ARCHS = ("Multi_BTSUNet", "MTUNetPlusPlus", "MTnnUNet", "Multi_FSB_BTSUNet", "Adityan")
 
@@ -77,6 +78,8 @@ def init_segmentation_model(architecture: str, sequences: int = 1, regions: int 
         return FSBBTSUNet(regions=regions, width=width, deep_supervision=deep_supervision)
     if architecture == "SegResNet":
         return SegResNet(regions=regions)
+    if architecture == "SwinUNETR":
+        return SwinUNETR(regions=regions)
     raise ValueError(
         f"Unknown segmentation architecture {architecture!r}. "
         f"Available: {SEGMENTATION_ARCHS}")

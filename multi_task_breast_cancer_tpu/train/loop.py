@@ -88,7 +88,13 @@ class Engine:
         self.tx = tx
         self.cfg = cfg
         self.mesh = mesh
-        self._seg_crit = L.init_criterion_segmentation(cfg.seg_criterion)
+        if cfg.seg_criterion == "DICE":
+            # custom-VJP fused dice: identical values/grads (tests), no
+            # spatial tape — only two scalars per plane survive to backward
+            from multi_task_breast_cancer_tpu.ops.fused_loss import fused_dice_criterion
+            self._seg_crit = fused_dice_criterion
+        else:
+            self._seg_crit = L.init_criterion_segmentation(cfg.seg_criterion)
         self._cls_crit = L.init_criterion_classification(
             cfg.n_classes, cfg.classes_weighted, cfg.cls_criterion)
         self._train_epoch = jax.jit(self._train_epoch_impl, donate_argnums=(0,))

@@ -1,0 +1,84 @@
+"""Checkpoint round-trip tests: weights-only restore (reference parity) and
+full optimizer-state resume (new capability)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_task_breast_cancer_tpu.data.dataset import ArrayDataset
+from multi_task_breast_cancer_tpu.models import init_segmentation_model
+from multi_task_breast_cancer_tpu.train.checkpoint import (
+    load_pretrained_model,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from multi_task_breast_cancer_tpu.train.loop import Engine, EngineConfig, plan_epoch_indices
+from multi_task_breast_cancer_tpu.train.optim import init_optimizer
+from multi_task_breast_cancer_tpu.train.state import create_train_state
+
+
+def _setup():
+    rng = np.random.default_rng(0)
+    n, H = 8, 32
+    ds = ArrayDataset(images=(rng.random((n, H, H, 1)) * 255).astype(np.float32),
+                      masks=(rng.random((n, H, H, 1)) > 0.7).astype(np.float32),
+                      labels=rng.integers(0, 3, n).astype(np.int32),
+                      patient_ids=np.arange(n), class_names=["benign"] * n,
+                      tumor_pixels=np.zeros(n, np.int64))
+    model = init_segmentation_model("BTSUNet", width=4)
+    tx = init_optimizer("Adam", 1e-3)
+    engine = Engine(model, tx, EngineConfig(task="segmentation", batch_size=4,
+                                            use_transforms=False))
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, H, H, 1)))
+    return engine, state, ds
+
+
+def _tree_equal(a, b):
+    return all(bool(jnp.array_equal(x, y)) for x, y in
+               zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)))
+
+
+def test_weights_only_restore(tmp_path):
+    engine, state, ds = _setup()
+    data = engine.device_data(ds)
+    perm = plan_epoch_indices(len(ds), 4, np.random.default_rng(1))
+    trained, _ = engine.train_epoch(state, data, perm, jax.random.PRNGKey(1))
+
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, trained, epoch=3, val_loss=0.5)
+
+    fresh = create_train_state(engine.model, engine.tx, jax.random.PRNGKey(9),
+                               jnp.zeros((1, 32, 32, 1)))
+    restored = load_pretrained_model(fresh, path)
+    assert _tree_equal(restored.params, trained.params)
+    # weights-only: optimizer state untouched (reference parity, models.py:29-31)
+    assert _tree_equal(restored.opt_state, fresh.opt_state)
+
+
+def test_full_resume_continues_identically(tmp_path):
+    engine, state, ds = _setup()
+    data = engine.device_data(ds)
+    rng = np.random.default_rng(1)
+    perm1 = plan_epoch_indices(len(ds), 4, rng)
+    perm2 = plan_epoch_indices(len(ds), 4, rng)
+
+    s1, _ = engine.train_epoch(state, data, perm1, jax.random.PRNGKey(1))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, s1, epoch=0, val_loss=1.0)
+    s2, m_direct = engine.train_epoch(s1, data, perm2, jax.random.PRNGKey(2))
+
+    fresh = create_train_state(engine.model, engine.tx, jax.random.PRNGKey(9),
+                               jnp.zeros((1, 32, 32, 1)))
+    resumed, epoch, val_loss = restore_checkpoint(fresh, path)
+    assert epoch == 0 and val_loss == 1.0
+    s2b, m_resumed = engine.train_epoch(resumed, data, perm2, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(m_direct["loss"], m_resumed["loss"], rtol=1e-6)
+    assert _tree_equal(s2.params, s2b.params)
+
+
+def test_missing_checkpoint_raises(tmp_path):
+    engine, state, ds = _setup()
+    import pytest
+    with pytest.raises(ValueError, match="No checkpoint found"):
+        load_pretrained_model(state, str(tmp_path / "nope"))

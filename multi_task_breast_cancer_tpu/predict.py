@@ -1,0 +1,130 @@
+"""Serving/prediction entry point: run a trained checkpoint over a folder of
+raw ultrasound PNGs (no masks needed) and emit segmentation masks + class
+probabilities — the deployment-facing path (the reference only evaluates
+against labelled loaders).
+
+    python -m multi_task_breast_cancer_tpu.predict \
+        --config config.yaml --task multitask \
+        --checkpoint runs/.../fold_0/model_..._fold_0 \
+        --images ./incoming_pngs --output ./predictions
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_task_breast_cancer_tpu.config import load_config
+from multi_task_breast_cancer_tpu.train.checkpoint import load_pretrained_model
+from multi_task_breast_cancer_tpu.train.driver import _build_model
+from multi_task_breast_cancer_tpu.train.inference import (
+    _cls_logits_np,
+    _sigmoid,
+    _softmax,
+    save_binary_segmentation,
+)
+from multi_task_breast_cancer_tpu.train.loop import Engine, EngineConfig
+from multi_task_breast_cancer_tpu.train.optim import init_optimizer
+from multi_task_breast_cancer_tpu.train.state import create_train_state
+
+CLASS_NAMES = ["benign", "malignant", "normal"]
+
+
+def load_images(folder: str | Path, size: int = 128) -> tuple[np.ndarray, list]:
+    import cv2
+    from multi_task_breast_cancer_tpu import native
+
+    paths = sorted(Path(folder).glob("*.png"))
+    imgs = []
+    for p in paths:
+        img = cv2.imread(str(p), 0)
+        if img is None:
+            logging.warning("skipping unreadable %s", p)
+            continue
+        if img.shape != (size, size):
+            img = native.nearest_resize(img, size, size)
+        imgs.append(img.astype(np.float32)[..., None])
+    return np.stack(imgs), paths
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="./config.yaml")
+    parser.add_argument("--task", default="multitask",
+                        choices=["segmentation", "classification", "multitask"])
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--images", required=True)
+    parser.add_argument("--output", default="./predictions")
+    parser.add_argument("--size", type=int, default=128)
+    args = parser.parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    cfg = load_config(args.config)
+    n_classes = len(cfg.data.classes)
+    images, paths = load_images(args.images, args.size)
+    logging.info("loaded %d images", len(images))
+
+    model = _build_model(cfg, args.task)
+    tx = init_optimizer(cfg.optimizer.opt, cfg.optimizer.lr)
+    engine = Engine(model, tx, EngineConfig(task=args.task, n_classes=n_classes,
+                                            batch_size=cfg.data.batch_size,
+                                            compute_dtype=cfg.training.compute_dtype))
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, args.size, args.size, 1)))
+    state = load_pretrained_model(state, args.checkpoint)
+
+    out_dir = Path(args.output)
+    (out_dir / "segs").mkdir(parents=True, exist_ok=True)
+
+    t0 = time.perf_counter()
+    out = engine.predict(state, images)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    dt = time.perf_counter() - t0
+    logging.info("inference: %d imgs in %.3fs (%.1f imgs/s)",
+                 len(images), dt, len(images) / dt)
+
+    records = []
+    if args.task == "classification":
+        logits = _cls_logits_np(out)
+        probs = _softmax(logits) if n_classes > 2 else _sigmoid(logits)
+        for i, p in enumerate(paths):
+            records.append({"image": p.name,
+                            "probs": probs[i].tolist(),
+                            "predicted_class": CLASS_NAMES[int(np.argmax(probs[i]))]
+                            if n_classes > 2 else
+                            ("malignant" if probs[i][0] > 0.5 else "benign")})
+    else:
+        if args.task == "multitask":
+            cls_out, seg_out = out
+            logits = _cls_logits_np(cls_out)
+            probs = _softmax(logits) if n_classes > 2 else _sigmoid(logits)
+        else:
+            seg_out, probs = out, None
+        final = seg_out[-1] if isinstance(seg_out, (tuple, list)) else seg_out
+        masks = (_sigmoid(np.asarray(final[..., 0])) > 0.5).astype(np.uint8)
+        for i, p in enumerate(paths):
+            save_binary_segmentation(masks[i], str(out_dir / "segs" / f"{p.stem}_seg.png"))
+            rec = {"image": p.name,
+                   "tumor_pixels": int(masks[i].sum())}
+            if probs is not None:
+                rec["probs"] = probs[i].tolist()
+                rec["predicted_class"] = CLASS_NAMES[int(np.argmax(probs[i]))]
+                # PR rule: empty mask ⇒ normal
+                if cfg.training.overlap_class_based_on_seg and rec["tumor_pixels"] == 0:
+                    rec["predicted_class"] = "normal"
+            records.append(rec)
+
+    with (out_dir / "predictions.json").open("w") as f:
+        json.dump(records, f, indent=2)
+    logging.info("wrote %s", out_dir / "predictions.json")
+
+
+if __name__ == "__main__":
+    main()

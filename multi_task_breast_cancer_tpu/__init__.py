@@ -14,3 +14,24 @@ prediction refinement, k-fold CV drivers, and reporting — all built TPU-first:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy public API (keeps `import multi_task_breast_cancer_tpu` light)."""
+    if name == "load_config":
+        from multi_task_breast_cancer_tpu.config import load_config
+        return load_config
+    if name == "run_experiment":
+        from multi_task_breast_cancer_tpu.train.driver import run_experiment
+        return run_experiment
+    if name in ("init_segmentation_model", "init_classification_model",
+                "init_multitask_model"):
+        from multi_task_breast_cancer_tpu.models import registry
+        return getattr(registry, name)
+    if name == "Engine":
+        from multi_task_breast_cancer_tpu.train.loop import Engine
+        return Engine
+    if name == "EngineConfig":
+        from multi_task_breast_cancer_tpu.train.loop import EngineConfig
+        return EngineConfig
+    raise AttributeError(name)

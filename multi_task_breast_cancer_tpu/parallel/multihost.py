@@ -1,0 +1,60 @@
+"""Multi-host (multi-slice / pod) support.
+
+Single-host DP rides ICI; on a pod slice or multi-slice deployment the same
+``Mesh(('data',))`` program spans hosts with XLA routing the all-reduce over
+DCN between slices. The only extra requirement is runtime initialisation and
+host-local batch handling, wrapped here.
+
+Usage (one call at program start, before device queries):
+
+    from multi_task_breast_cancer_tpu.parallel import multihost
+    multihost.initialize()          # no-op on single-host
+    mesh = data_mesh()              # now spans all processes' devices
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+import jax
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> bool:
+    """Initialise the JAX distributed runtime when running multi-process.
+
+    Returns True if distributed mode is active. Safe to call on single host
+    (returns False without side effects). Auto-detects TPU pod environments
+    (``jax.distributed.initialize`` with no args); explicit args support
+    manual GPU/CPU clusters."""
+    in_pod_env = any(k in os.environ for k in
+                     ("MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"))
+    if coordinator_address is None and not in_pod_env:
+        return False
+    # single-process TPU_WORKER_HOSTNAMES=localhost is not a real pod
+    if coordinator_address is None and \
+            os.environ.get("TPU_WORKER_HOSTNAMES", "") in ("", "localhost"):
+        return False
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        logging.info("jax.distributed initialised: process %d/%d, %d local / %d "
+                     "global devices", jax.process_index(), jax.process_count(),
+                     jax.local_device_count(), jax.device_count())
+        return True
+    except Exception as e:  # pragma: no cover
+        logging.warning("jax.distributed.initialize failed (%s); continuing "
+                        "single-process", e)
+        return False
+
+
+def process_local_slice(n_global: int) -> slice:
+    """The half-open index range of a length-``n_global`` global batch owned by
+    this process (equal host-local shards)."""
+    per = n_global // jax.process_count()
+    start = jax.process_index() * per
+    return slice(start, start + per)

@@ -167,6 +167,42 @@ class LevelBlock(nn.Module):
         return x
 
 
+class DeconvHead(nn.Module):
+    """Deep-supervision head ``ConvTranspose(k=s, C→C) → conv1x1(C→R)``
+    computed as ONE fused transposed conv.
+
+    Both layers are linear, so their composition is a single deconv with
+    kernel ``W_fused[h,w,i,r] = Σ_c Wd[h,w,i,c]·W1[c,r]`` and bias
+    ``b_fused = W1ᵀ·bd + b1`` — same parameters, same function, same gradients
+    (autodiff flows through the contraction), but the head writes an R-channel
+    full-resolution map instead of a C-channel one (~C/R fewer HBM bytes on
+    the fattest tensors of the network, forward and backward).
+
+    Replaces the reference's two-module heads (e.g. ``nnUNet.py:107-118``).
+    """
+
+    mid_features: int  # C: the deconv's channel count
+    regions: int
+    kernel: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c, k, r = self.mid_features, self.kernel, self.regions
+        wd = self.param("deconv_kernel", nn.initializers.lecun_normal(),
+                        (k, k, c, c))
+        bd = self.param("deconv_bias", nn.initializers.zeros, (c,))
+        w1 = self.param("conv1x1_kernel", kaiming_normal, (1, 1, c, r))
+        b1 = self.param("conv1x1_bias", nn.initializers.zeros, (r,))
+
+        w1m = w1[0, 0]  # (c, r)
+        fused_w = jnp.einsum("hwic,cr->hwir", wd, w1m)
+        fused_b = jnp.einsum("c,cr->r", bd, w1m) + b1
+        y = jax.lax.conv_transpose(
+            x, fused_w.astype(x.dtype), strides=(k, k), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + fused_b.astype(x.dtype)
+
+
 class MLPHead(nn.Module):
     """Flatten → Linear(hidden) → ReLU → Linear(n_out) classifier head."""
 

@@ -11,9 +11,9 @@ from flax import linen as nn
 
 from multi_task_breast_cancer_tpu.models.blocks import (
     ConvInNormLeReLU,
+    DeconvHead,
     LevelBlock,
     conv1x1,
-    deconv,
     max_pool_2x2,
     upsample_nearest_2x,
 )
@@ -68,8 +68,6 @@ class FSBBTSUNet(nn.Module):
         out_npl2 = conv1x1(self.regions, name="out_npl2")(npl2)
         out_npl3 = conv1x1(self.regions, name="out_npl3")(npl3)
         out_npl4 = conv1x1(self.regions, name="out_npl4")(npl4)
-        out3 = conv1x1(self.regions, name="output3_head")(
-            deconv(w[1], 4, name="output3_up")(d3))
-        out2 = conv1x1(self.regions, name="output2_head")(
-            deconv(w[0], 2, name="output2_up")(d2))
+        out3 = DeconvHead(w[1], self.regions, 4, name="output3")(d3)
+        out2 = DeconvHead(w[0], self.regions, 2, name="output2")(d2)
         return (out3, out2, out_npl1, out_npl2, out_npl3, out_npl4, input1, output1)

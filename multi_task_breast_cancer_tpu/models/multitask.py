@@ -18,6 +18,7 @@ from flax import linen as nn
 
 from multi_task_breast_cancer_tpu.models.blocks import (
     ConvInNormLeReLU,
+    DeconvHead,
     LevelBlock,
     MLPHead,
     avg_pool,
@@ -135,10 +136,8 @@ class MultiBTSUNet(nn.Module):
         output1 = conv1x1(self.regions, name="output1")(t["d1"])
         if not self.deep_supervision:
             return cls, output1
-        out3 = conv1x1(self.regions, name="output3_head")(
-            deconv(w[1], 4, name="output3_up")(t["d3"]))
-        out2 = conv1x1(self.regions, name="output2_head")(
-            deconv(w[0], 2, name="output2_up")(t["d2"]))
+        out3 = DeconvHead(w[1], self.regions, 4, name="output3")(t["d3"])
+        out2 = DeconvHead(w[0], self.regions, 2, name="output2")(t["d2"])
         return (cls,), (out3, out2, output1)
 
 
@@ -173,10 +172,8 @@ class MultiFSBBTSUNet(nn.Module):
         out_npl2 = conv1x1(self.regions, name="out_npl2")(t["npl2"])
         out_npl3 = conv1x1(self.regions, name="out_npl3")(t["npl3"])
         out_npl4 = conv1x1(self.regions, name="out_npl4")(t["npl4"])
-        out3 = conv1x1(self.regions, name="output3_head")(
-            deconv(w[1], 4, name="output3_up")(t["d3"]))
-        out2 = conv1x1(self.regions, name="output2_head")(
-            deconv(w[0], 2, name="output2_up")(t["d2"]))
+        out3 = DeconvHead(w[1], self.regions, 4, name="output3")(t["d3"])
+        out2 = DeconvHead(w[0], self.regions, 2, name="output2")(t["d2"])
         return cls, (out3, out2, out_npl1, out_npl2, out_npl3, out_npl4, input1, output1)
 
 

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multi_task_breast_cancer_tpu.models.blocks import (
+    DeconvHead,
     LevelBlock,
     conv1x1,
     deconv,
@@ -65,12 +66,9 @@ class SegHeads(nn.Module):
     @nn.compact
     def __call__(self, feats) -> Tuple[jnp.ndarray, ...]:
         w = NNUNET_WIDTHS
-        out4 = conv1x1(self.regions, name="output4_head")(
-            deconv(w[2], 8, name="output4_up")(feats["d4"]))
-        out3 = conv1x1(self.regions, name="output3_head")(
-            deconv(w[1], 4, name="output3_up")(feats["d3"]))
-        out2 = conv1x1(self.regions, name="output2_head")(
-            deconv(w[0], 2, name="output2_up")(feats["d2"]))
+        out4 = DeconvHead(w[2], self.regions, 8, name="output4")(feats["d4"])
+        out3 = DeconvHead(w[1], self.regions, 4, name="output3")(feats["d3"])
+        out2 = DeconvHead(w[0], self.regions, 2, name="output2")(feats["d2"])
         out1 = conv1x1(self.regions, name="output1")(feats["d1"])
         return (out4, out3, out2, out1)
 

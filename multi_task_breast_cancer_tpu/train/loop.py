@@ -306,10 +306,16 @@ class Engine:
         return self._predict(state, jnp.asarray(images))
 
     def device_data(self, ds: ArrayDataset) -> Dict[str, Any]:
-        """Transfer one split to device arrays (once per fold)."""
+        """Transfer one split to device arrays (once per fold).
+
+        Under bf16 mixed precision images/masks are stored as bf16 in HBM:
+        raw intensities (0..255 integers) and binary masks are exactly
+        representable, and the per-step gather + augmentation move half the
+        bytes."""
+        dt = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
         return {
-            "images": jnp.asarray(ds.images),
-            "masks": jnp.asarray(ds.masks),
+            "images": jnp.asarray(ds.images, dt),
+            "masks": jnp.asarray(ds.masks, dt),
             "cls_targets": jnp.asarray(make_cls_targets(ds.labels, self.cfg.n_classes)),
             "labels_int": jnp.asarray(ds.labels),
         }

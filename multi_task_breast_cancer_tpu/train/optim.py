@@ -29,7 +29,9 @@ def init_optimizer(opt: str, learning_rate: float) -> optax.GradientTransformati
         tx = optax.inject_hyperparams(optax.sgd)(
             learning_rate=learning_rate, momentum=0.9, nesterov=True)
     elif opt == "AdamW":
-        tx = optax.inject_hyperparams(optax.adamw)(learning_rate=learning_rate)
+        # torch AdamW defaults (weight_decay=0.01), which the reference uses
+        tx = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=learning_rate, weight_decay=0.01)
     else:
         logging.info("The optimizer '%s' is not recognized. SGD will be used instead.", opt)
         tx = optax.inject_hyperparams(optax.sgd)(

@@ -11,7 +11,7 @@ Two tiers, chosen for TPU efficiency:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

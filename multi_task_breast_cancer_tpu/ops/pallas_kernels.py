@@ -17,8 +17,6 @@ exercise interpret mode on CPU).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

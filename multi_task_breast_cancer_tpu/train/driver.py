@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 
 from multi_task_breast_cancer_tpu.config import Config, DEFAULT_CONFIG_YAML
-from multi_task_breast_cancer_tpu.data.loader import FoldData, load_datasets
+from multi_task_breast_cancer_tpu.data.loader import load_datasets
 from multi_task_breast_cancer_tpu.models import (
     init_classification_model,
     init_multitask_model,

@@ -19,9 +19,7 @@ twice (the reference's second classification pass re-runs the model,
 
 from __future__ import annotations
 
-import logging
-from pathlib import Path
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import pandas as pd

@@ -11,8 +11,6 @@ import glob
 import logging
 import os
 import random
-from pathlib import Path
-from typing import Dict
 
 import numpy as np
 import pandas as pd

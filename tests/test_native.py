@@ -2,8 +2,6 @@
 the resize and the numpy-parity of every op (fallback path covered too)."""
 
 import numpy as np
-import pytest
-
 from multi_task_breast_cancer_tpu import native
 
 

@@ -4,8 +4,6 @@ sharded-vs-single-device training equivalence, and the dry-run hook."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
-
 from multi_task_breast_cancer_tpu.data.dataset import ArrayDataset
 from multi_task_breast_cancer_tpu.models import init_segmentation_model
 from multi_task_breast_cancer_tpu.parallel.mesh import data_mesh

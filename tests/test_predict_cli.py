@@ -3,8 +3,6 @@
 import json
 import subprocess
 import sys
-from pathlib import Path
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -162,27 +162,30 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
 
     header = METRIC_HEADERS[(task, mode)]
 
+    # one engine for all folds: identical model/optimizer/loss config, so the
+    # jit cache carries compiled epochs across folds whenever shapes coincide
+    # (per-fold train sizes differ with oversampling; eval/predict often match)
+    model = _build_model(cfg, task)
+    tx = init_optimizer(cfg.optimizer.opt, cfg.optimizer.lr)
+    ecfg = EngineConfig(
+        task=task, n_classes=n_classes, batch_size=cfg.data.batch_size,
+        alpha=cfg.training.alpha,
+        inversely_weighted=cfg.loss.inversely_weighted,
+        seg_criterion=cfg.loss.function,
+        cls_criterion=cfg.loss.classification_criterion,
+        classes_weighted=cfg.data.classes_weighted,
+        max_angle=max_angle,
+        p_hflip=cfg.data.transforms.horizontal_flip,
+        p_vflip=cfg.data.transforms.vertical_flip,
+        compute_dtype=cfg.training.compute_dtype,
+    )
+    engine = Engine(model, tx, ecfg, mesh)
+
     for n, fold in enumerate(folds):
         logging.info("\n\n *********************  FOLD %d  ********************* \n\n", n)
         fold_time = time.perf_counter()
         for sub in ("segs", "plots", "features_map"):
             Path(f"{run_path}/fold_{n}/{sub}").mkdir(parents=True, exist_ok=True)
-
-        model = _build_model(cfg, task)
-        tx = init_optimizer(cfg.optimizer.opt, cfg.optimizer.lr)
-        ecfg = EngineConfig(
-            task=task, n_classes=n_classes, batch_size=cfg.data.batch_size,
-            alpha=cfg.training.alpha,
-            inversely_weighted=cfg.loss.inversely_weighted,
-            seg_criterion=cfg.loss.function,
-            cls_criterion=cfg.loss.classification_criterion,
-            classes_weighted=cfg.data.classes_weighted,
-            max_angle=max_angle,
-            p_hflip=cfg.data.transforms.horizontal_flip,
-            p_vflip=cfg.data.transforms.vertical_flip,
-            compute_dtype=cfg.training.compute_dtype,
-        )
-        engine = Engine(model, tx, ecfg, mesh)
 
         sample = jnp.zeros((1,) + fold.train.images.shape[1:], jnp.float32)
         fold_key = jax.random.fold_in(root_key, n)
@@ -365,7 +368,7 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
                                                       cls_res.predicted_label)))
 
         logging.info("Total time for fold %d: %.2f", n, time.perf_counter() - fold_time)
-        del state, engine
+        del state
 
     # cross-fold result sheets
     if task in ("segmentation", "multitask"):

@@ -1,0 +1,83 @@
+"""CLI entry-point tests: the reference-parity `python -m ...training_*`
+modules and the evaluate CLI, run as real subprocesses on tiny synthetic data."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from multi_task_breast_cancer_tpu.data import synthetic
+
+ENV = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
+       "HOME": "/root", "PYTHONPATH": "/root/repo"}
+
+
+@pytest.fixture(scope="module")
+def busi_root(tmp_path_factory):
+    return synthetic.make_preprocessed_busi(tmp_path_factory.mktemp("busi"),
+                                            n_per_class=12, size=64)
+
+
+def _config(tmp_path, busi_root, arch="BTSUNet"):
+    cfg = tmp_path / "config.yaml"
+    cfg.write_text(f"""
+model:
+  architecture: {arch}
+  sequences: 1
+  width: 4
+  deep_supervision: False
+optimizer:
+  opt: Adam
+  lr: 0.001
+  scheduler: plateau
+training:
+  seed: 1993
+  epochs: 1
+  CV: 2
+data:
+  input_img: {busi_root}
+  batch_size: 4
+  classes: [benign, malignant, normal]
+  oversampling: False
+""")
+    return cfg
+
+
+def test_training_segmentation_module(tmp_path, busi_root):
+    cfg = _config(tmp_path, busi_root)
+    proc = subprocess.run(
+        [sys.executable, "-m", "multi_task_breast_cancer_tpu.training_segmentation",
+         "--config", str(cfg), "--run-root", str(tmp_path / "runs")],
+        capture_output=True, text=True, timeout=900, env=ENV, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    runs = list((tmp_path / "runs").iterdir())
+    assert len(runs) == 1
+    assert (runs[0] / "fold_1" / "results_segmentation.csv").exists()
+
+
+def test_evaluate_cli(tmp_path, busi_root):
+    import jax
+    import jax.numpy as jnp
+    from multi_task_breast_cancer_tpu.models import init_segmentation_model
+    from multi_task_breast_cancer_tpu.train.checkpoint import save_checkpoint
+    from multi_task_breast_cancer_tpu.train.optim import init_optimizer
+    from multi_task_breast_cancer_tpu.train.state import create_train_state
+
+    model = init_segmentation_model("BTSUNet", width=4)
+    tx = init_optimizer("Adam", 1e-3)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 1)))
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), state, epoch=0, val_loss=1.0)
+
+    cfg = _config(tmp_path, busi_root)
+    out = tmp_path / "eval_out"
+    proc = subprocess.run(
+        [sys.executable, "-m", "multi_task_breast_cancer_tpu.evaluate",
+         "--config", str(cfg), "--task", "segmentation",
+         "--checkpoint", str(ckpt), "--data", str(busi_root),
+         "--output", str(out)],
+        capture_output=True, text=True, timeout=900, env=ENV, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert (out / "results_segmentation.csv").exists()

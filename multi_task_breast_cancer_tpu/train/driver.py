@@ -214,10 +214,14 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
             perm = plan_epoch_indices(len(fold.train), cfg.data.batch_size, host_rng)
             epoch_key = jax.random.fold_in(fold_key, epoch + 1)
             with maybe_profile(epoch, n):
-                state, tm = engine.train_epoch(state, train_data, perm, epoch_key)
+                if val_data is not None:
+                    # fused train+eval: one device program, one metric fetch
+                    state, tm, vm = engine.train_and_eval_epoch(
+                        state, train_data, val_data, perm, epoch_key)
+                else:
+                    state, tm = engine.train_epoch(state, train_data, perm, epoch_key)
+                    vm = None
             check_finite_loss(tm["loss"])
-
-            vm = engine.eval_epoch(state, val_data) if val_data is not None else None
             monitor = vm["loss"] if vm is not None else tm["loss"]
             if vm is not None:
                 check_finite_loss(vm["loss"])

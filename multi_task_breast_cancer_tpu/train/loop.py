@@ -98,6 +98,7 @@ class Engine:
             cfg.n_classes, cfg.classes_weighted, cfg.cls_criterion)
         self._train_epoch = jax.jit(self._train_epoch_impl, donate_argnums=(0,))
         self._eval_epoch = jax.jit(self._eval_epoch_impl)
+        self._train_eval_epoch = jax.jit(self._train_eval_impl, donate_argnums=(0,))
         self._predict = jax.jit(self._predict_impl)
 
     # ------------------------------------------------------------------
@@ -281,6 +282,16 @@ class Engine:
             "f1_binary": self._binary_f1(sm["cm"]) if has_cm else jnp.zeros(()),
         }
 
+    def _train_eval_impl(self, state: TrainState, t_images, t_masks, t_cls, t_lint,
+                         perm, key, v_images, v_masks, v_cls, v_lint):
+        """Train epoch + validation pass in ONE device program: halves the
+        per-epoch dispatch/fetch round-trips (significant on remote-tunnel
+        runtimes) and lets XLA overlap the tail of training with eval setup."""
+        state, tmetrics = self._train_epoch_impl(
+            state, t_images, t_masks, t_cls, t_lint, perm, key)
+        vmetrics = self._eval_epoch_impl(state, v_images, v_masks, v_cls, v_lint)
+        return state, tmetrics, vmetrics
+
     def _predict_impl(self, state: TrainState, images):
         out, _ = self._apply(state.params, state.batch_stats, images, train=False)
         return self._as_f32(out)
@@ -309,6 +320,24 @@ class Engine:
         metrics = self._eval_epoch(state, data["images"], data["masks"],
                                    data["cls_targets"], data["labels_int"])
         return self._fetch_metrics(metrics)
+
+    def train_and_eval_epoch(self, state: TrainState, train_data: Dict[str, Any],
+                             val_data: Dict[str, Any], perm: np.ndarray,
+                             key: jax.Array
+                             ) -> Tuple[TrainState, Dict[str, float], Dict[str, float]]:
+        """One device program + one metric fetch for train epoch + validation."""
+        state, tm, vm = self._train_eval_epoch(
+            state, train_data["images"], train_data["masks"],
+            train_data["cls_targets"], train_data["labels_int"],
+            jnp.asarray(perm), key,
+            val_data["images"], val_data["masks"],
+            val_data["cls_targets"], val_data["labels_int"])
+        both = {f"t_{k}": v for k, v in tm.items()}
+        both.update({f"v_{k}": v for k, v in vm.items()})
+        fetched = self._fetch_metrics(both)
+        tmf = {k[2:]: v for k, v in fetched.items() if k.startswith("t_")}
+        vmf = {k[2:]: v for k, v in fetched.items() if k.startswith("v_")}
+        return state, tmf, vmf
 
     def predict(self, state: TrainState, images) -> Any:
         return self._predict(state, jnp.asarray(images))

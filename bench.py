@@ -32,6 +32,8 @@ ASSUMED_A100_PYTORCH_BASELINE_IMGS_PER_SEC = 200.0
 
 
 def main() -> None:
+    from multi_task_breast_cancer_tpu.utils.miscellany import enable_compilation_cache
+    enable_compilation_cache()
     n_devices = jax.device_count()
     batch_per_chip = 256  # measured sweet spot on TPU v5e (1292 imgs/s/chip)
     batch = batch_per_chip * n_devices

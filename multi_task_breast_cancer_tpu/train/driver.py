@@ -56,6 +56,7 @@ from multi_task_breast_cancer_tpu.train.optim import (
 )
 from multi_task_breast_cancer_tpu.train.state import create_train_state
 from multi_task_breast_cancer_tpu.utils.miscellany import (
+    enable_compilation_cache,
     init_log,
     save_classification_results,
     save_segmentation_results,
@@ -128,6 +129,7 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
     """Run the full k-fold experiment; returns the run directory path."""
     init_time = time.perf_counter()
     timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    enable_compilation_cache()
 
     if cfg.training.CV < 2:
         sys.exit("This code is prepared for receiving a CV greater than 1")

@@ -143,15 +143,15 @@ class Engine:
             return loss, {"cls_out": out}
         if isinstance(out, tuple) and len(out) == 3:
             # Adityan's (cls, reconstruction, seg) triple: the reference defines
-            # this network but never wires it into a training routine
-            # (AdityanNetwork.py is absent from the factory); train it here as
-            # multitask + an auxiliary L2 reconstruction term.
+            # this network but never wires it into any training routine
+            # (AdityanNetwork.py is absent from the factory), so no reference
+            # loss exists for the reconstruction head — it is excluded here and
+            # the seg+cls pair trains with the standard multitask objective.
             cls, rec, seg = out
             seg_loss, cls_loss = L.apply_criterion_multitask(
                 self._seg_crit, masks, seg, self._cls_crit, cls_targets, cls,
                 cfg.inversely_weighted)
-            # reconstruct the (min-max scaled) input intensity channel
-            loss = (cfg.alpha * seg_loss + (1 - cfg.alpha) * cls_loss)
+            loss = cfg.alpha * seg_loss + (1 - cfg.alpha) * cls_loss
             return loss, {"seg_out": seg, "cls_out": cls, "seg_loss": seg_loss,
                           "cls_loss": cls_loss}
         cls, seg = out

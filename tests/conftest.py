@@ -19,6 +19,12 @@ import jax  # noqa: E402
 # var; the config knob reliably pins the platform to CPU.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-bound on CPU; repeat runs
+# skip most of the ~35 min of jit compiles.
+from multi_task_breast_cancer_tpu.utils.miscellany import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -69,15 +69,20 @@ def main() -> None:
     perm = plan_epoch_indices(n, batch, host_rng)
     state, _ = engine.train_epoch(state, data, perm, jax.random.PRNGKey(1))
 
-    # timed epochs
+    # timed epochs: dispatch back-to-back through the jitted epoch fn and
+    # fetch metrics once at the end (steady-state throughput; the per-epoch
+    # metric fetch is an RPC round-trip on tunnel runtimes)
     n_epochs = 5
     t0 = time.perf_counter()
+    metrics = None
     for e in range(n_epochs):
         perm = plan_epoch_indices(n, batch, host_rng)
-        state, metrics = engine.train_epoch(state, data, perm,
-                                            jax.random.PRNGKey(2 + e))
-    jax.block_until_ready(state.params)
+        state, metrics = engine._train_epoch(
+            state, data["images"], data["masks"], data["cls_targets"],
+            data["labels_int"], jnp.asarray(perm), jax.random.PRNGKey(2 + e))
+    final_loss = float(metrics["loss"])  # forces materialisation of all work
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
 
     total_imgs = n_epochs * steps_per_epoch * batch
     imgs_per_sec = total_imgs / dt

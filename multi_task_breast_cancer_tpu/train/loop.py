@@ -352,8 +352,22 @@ class Engine:
         vmf = {k[2:]: v for k, v in fetched.items() if k.startswith("v_")}
         return state, tmf, vmf
 
-    def predict(self, state: TrainState, images) -> Any:
-        return self._predict(state, jnp.asarray(images))
+    def predict(self, state: TrainState, images, max_batch: int = 1024) -> Any:
+        """Batched inference. Sets ≤ ``max_batch`` run as one forward; larger
+        sets run in fixed-size chunks (last chunk wrap-padded so every chunk
+        reuses one compiled program) and the outputs are concatenated."""
+        images = jnp.asarray(images)
+        n = images.shape[0]
+        if n <= max_batch:
+            return self._predict(state, images)
+        steps = -(-n // max_batch)
+        pad = steps * max_batch - n
+        if pad:
+            images = jnp.concatenate([images, images[:pad]], axis=0)
+        outs = [self._predict(state, images[i * max_batch:(i + 1) * max_batch])
+                for i in range(steps)]
+        merged = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+        return jax.tree_util.tree_map(lambda a: a[:n], merged)
 
     def device_data(self, ds: ArrayDataset) -> Dict[str, Any]:
         """Transfer one split to device arrays (once per fold).

@@ -25,12 +25,19 @@ class FoldData:
     val: Optional[ArrayDataset] = None  # absent in CV_PROD mode
 
 
-def _read_mapping(path_images: str | Path, classes: List[str]) -> pd.DataFrame:
+def _read_mapping(path_images: str | Path,
+                  classes: Optional[List[str]] = None) -> pd.DataFrame:
+    """Read ``mapping.csv``; class filtering only when ``classes`` is given —
+    CV modes defer it to :func:`stratified_cv_splits` so the
+    ``use_duplicated_to_train`` complement sees the full mapping first
+    (reference order, ``BUSI_dataloader.py:95-100``)."""
     path_images = Path(path_images).resolve()
     assert path_images.exists(), f"Path '{path_images}' it doesn't exist"
     logging.info("Images are contained in the following path: %s", path_images)
     mapping = pd.read_csv(path_images / "mapping.csv")
-    return mapping[mapping["class"].isin(classes)]
+    if classes is not None:
+        mapping = mapping[mapping["class"].isin(classes)]
+    return mapping
 
 
 def load_datasets(config_training: TrainingConfig, config_data: DataConfig,
@@ -47,14 +54,18 @@ def load_datasets(config_training: TrainingConfig, config_data: DataConfig,
         ds = build_array_dataset(mapping, aug, None, semantic)
         return [FoldData(train=ds, test=ds)]
 
-    mapping = _read_mapping(config_data.input_img, classes)
+    mapping = _read_mapping(config_data.input_img)
     merge_val = mode == "CV_PROD"
+    # The reference dispatcher never forwards use_duplicated_to_train to the
+    # CV_PROD loader (BUSI_dataloader.py:358-369), so the flag is CV-only.
+    use_dup = config_data.use_duplicated_to_train and not merge_val
     folds = stratified_cv_splits(
         mapping, seed=config_training.seed, n_folds=config_training.CV,
         train_size=config_data.train_size,
         remove_outliers=config_data.remove_outliers,
-        use_duplicated_to_train=config_data.use_duplicated_to_train,
-        oversampling=config_data.oversampling, merge_val=merge_val)
+        use_duplicated_to_train=use_dup,
+        oversampling=config_data.oversampling, merge_val=merge_val,
+        classes=classes)
 
     out = []
     for n, fold in enumerate(folds):

@@ -126,15 +126,26 @@ def oversampling_busi(mapping_df: pd.DataFrame, seed: int) -> pd.DataFrame:
 def stratified_cv_splits(mapping: pd.DataFrame, seed: int, n_folds: int,
                          train_size: float = 0.8, remove_outliers: bool = False,
                          use_duplicated_to_train: bool = False,
-                         oversampling: bool = True, merge_val: bool = False
+                         oversampling: bool = True, merge_val: bool = False,
+                         classes: List[str] | None = None
                          ) -> List[Dict[str, pd.DataFrame]]:
     """Stratified k-fold plan with inner train/val split — the splitting logic
     of ``BUSI_dataloader_CV`` (``:79-150``) and ``_CV_prod`` (``:153-218``,
-    ``merge_val=True``). Returns per-fold dicts of mapping frames."""
+    ``merge_val=True``). Returns per-fold dicts of mapping frames.
+
+    ``classes`` filtering happens HERE, *after* the incongruent/train-only
+    filters, to match the reference order (``BUSI_dataloader.py:95-100``):
+    the train-only complement is computed on the full mapping, so with
+    ``classes ⊂ {benign,malignant,normal}`` the complement re-adds
+    out-of-class rows to every fold's train set — a quirk preserved for
+    bit-identical train membership.
+    """
     complement = None
     if use_duplicated_to_train:
         mapping = filter_incongruent_cases(mapping)
         mapping, complement = filter_train_cases(mapping)
+    if classes is not None:
+        mapping = mapping[mapping["class"].isin(classes)]
 
     folds = []
     kfold = StratifiedKFold(n_splits=n_folds, shuffle=True, random_state=int(seed))

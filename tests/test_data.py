@@ -102,6 +102,55 @@ class TestSplits:
         out = filter_anomalous_cases(m)
         assert list(out["id"]) == [7]
 
+    def test_use_duplicated_filter_order_quirk(self):
+        """Golden membership for classes=['benign','malignant'] +
+        use_duplicated_to_train=True: the reference computes the train-only
+        complement on the FULL mapping before class filtering
+        (BUSI_dataloader.py:95-100), so out-of-class (normal) train-only rows
+        are re-added to every fold's train set. Verified against an inline
+        simulation of the reference order."""
+        from multi_task_breast_cancer_tpu.data.splits import (
+            INCONGRUENT_CASES,
+            TRAIN_ONLY_CASES,
+            filter_incongruent_cases,
+            filter_train_cases,
+        )
+
+        rows = []
+        # splittable benign/malignant rows (ids far from any curated list)
+        rows += [{"class": "benign", "id": 500 + i} for i in range(16)]
+        rows += [{"class": "malignant", "id": 600 + i} for i in range(12)]
+        # train-only rows of ALL classes, incl. the excluded 'normal'
+        rows += [{"class": "benign", "id": i} for i in TRAIN_ONLY_CASES["benign"][:4]]
+        rows += [{"class": "normal", "id": i} for i in TRAIN_ONLY_CASES["normal"][:3]]
+        # incongruent rows must vanish entirely
+        rows += [{"class": "malignant", "id": INCONGRUENT_CASES["malignant"][0]}]
+        m = pd.DataFrame(rows)
+        m["img_path"], m["mask_path"] = "x", "y"
+
+        folds = stratified_cv_splits(m, seed=1993, n_folds=2, oversampling=False,
+                                     use_duplicated_to_train=True,
+                                     classes=["benign", "malignant"])
+
+        # inline reference-order simulation (BUSI_dataloader.py:95-124)
+        ref = filter_incongruent_cases(m)
+        ref, complement = filter_train_cases(ref)
+        ref = ref[ref["class"].isin(["benign", "malignant"])]
+        from sklearn.model_selection import StratifiedKFold, train_test_split
+        kf = StratifiedKFold(n_splits=2, shuffle=True, random_state=1993)
+        for fold, (tr_ix, te_ix) in zip(folds, kf.split(ref, ref["class"])):
+            tr_val = ref.iloc[tr_ix]
+            tr, _ = train_test_split(tr_val, train_size=0.8, random_state=1993,
+                                     shuffle=True, stratify=tr_val["class"])
+            expected = pd.concat([tr, complement])
+            assert list(fold["train"]["id"]) == list(expected["id"])
+            assert list(fold["train"]["class"]) == list(expected["class"])
+            # the quirk: excluded-class (normal) rows land in train
+            assert (fold["train"]["class"] == "normal").sum() == 3
+            # incongruent rows are gone everywhere
+            assert INCONGRUENT_CASES["malignant"][0] not in set(
+                fold["train"][fold["train"]["class"] == "malignant"]["id"])
+
     def test_cv_prod_merges_val(self):
         m = self._mapping()
         folds = stratified_cv_splits(m, seed=1993, n_folds=4, oversampling=False,

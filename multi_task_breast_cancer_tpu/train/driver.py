@@ -338,7 +338,12 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
         # inference phase on the best checkpoint
         # ------------------------------------------------------------------
         logging.info("\n\n ###############  TESTING PHASE  ###############  \n\n")
-        state = load_pretrained_model(state, ckpt_path)
+        if task != "segmentation":
+            # The segmentation drivers never reload the best checkpoint — the
+            # reload is commented out (training_segmentation.py:218, absent in
+            # the prod variant), so their test phase scores LAST-epoch weights.
+            # Classification/multitask drivers do reload (training_multitask.py:294).
+            state = load_pretrained_model(state, ckpt_path)
         fold_dir = f"{run_path}/fold_{n}"
 
         if task == "segmentation":

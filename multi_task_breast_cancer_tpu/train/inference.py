@@ -173,8 +173,15 @@ def inference_multitask_multiclass(engine, state, test_ds: ArrayDataset, path: s
     is_ds = isinstance(heads, list)
     final = heads[-1] if is_ds else heads
     logits = _cls_logits_np(cls_out)
-    probabilities = _softmax(logits, axis=-1)
     argmax_class = np.argmax(logits, axis=-1)
+    # PR rule (b) argmaxes the FIRST cls head only: the reference reassigns
+    # `features_map = features_map[-1]` before the `isinstance(..., list)`
+    # check guarding the head-mean, so the mean never happens there
+    # (models.py:313,326-330) — while rule-(c)/predicted_label use the
+    # head-mean argmax (models.py:361-364).
+    first_head = (np.asarray(cls_out[0]) if isinstance(cls_out, (tuple, list))
+                  else np.asarray(cls_out))
+    rule_b_class = np.argmax(first_head, axis=-1)
 
     # raw final-head masks (pre-PR) — used by the class-from-seg overlap rule
     raw_masks = (_sigmoid(final[..., 0]) > 0.5).astype(np.uint8)
@@ -192,7 +199,7 @@ def inference_multitask_multiclass(engine, state, test_ds: ArrayDataset, path: s
         seg = raw_masks[i].copy()
         if threshold > 0:
             seg = postprocess_binary_segmentation(seg, threshold)
-        if overlap_seg_based_on_class and argmax_class[i] == 2:
+        if overlap_seg_based_on_class and rule_b_class[i] == 2:
             seg[seg > 0] = 0  # predicted normal ⇒ no tumor (PR rule b)
 
         metrics = calculate_metrics(test_ds.masks[i, :, :, 0].astype(np.uint8), seg, pid)
@@ -217,7 +224,9 @@ def inference_multitask_multiclass(engine, state, test_ds: ArrayDataset, path: s
         "ground_truth": test_ds.labels.astype(int),
         "predicted_label": pred_labels,
     })
-    metrics_df[["prob_benign", "prob_malignant", "prob_normal"]] = probabilities
+    # prob_* columns hold the RAW mean cls outputs, not softmax probabilities
+    # (models.py:361-363 appends test_outputs before any normalization)
+    metrics_df[["prob_benign", "prob_malignant", "prob_normal"]] = logits
     metrics_df.to_csv(f"{path}/results_classification.csv", index=False)
     return results, metrics_df
 

@@ -111,67 +111,67 @@ def dice_focal_loss(logits: Array, target: Array) -> Array:
             + seg_focal_loss(logits, target))
 
 
-def _edt_host(mask: np.ndarray) -> np.ndarray:
-    from scipy.ndimage import distance_transform_edt
-    out = np.zeros_like(mask, dtype=np.float32)
-    for b in range(mask.shape[0]):
-        for c in range(mask.shape[-1]):
-            m = mask[b, :, :, c] > 0.5
-            if m.any():
-                out[b, :, :, c] = distance_transform_edt(~m) + distance_transform_edt(m)
-    return out
+_EDT_BIG = 1e9  # stand-in for "no zero in sight"; squares stay finite in f32
 
 
-def _edt_device(mask: Array, max_dist: int = 32) -> Array:
-    """On-device approximate distance transform: Chebyshev distance to the mask
-    boundary via iterative 3×3 dilation, clipped at ``max_dist``.
+def _edt_binary(nonzero: Array) -> Array:
+    """Exact Euclidean distance transform on device, scipy semantics:
+    each nonzero pixel → distance to the nearest zero pixel; zeros → 0.
 
-    Used on TPU backends whose runtime lacks host callbacks. The field only
-    *weights* the (p-g)² term (it is stop-gradient in MONAI too), so clipped
-    Chebyshev vs exact Euclidean changes the loss scale, not its minimisers.
-    NHWC in/out; fully jit-able (fori_loop of max-pools)."""
-    inside = (mask > 0.5).astype(jnp.float32)
+    Separable two-pass decomposition (Felzenszwalb/Meijster): per-column 1-D
+    distance to the nearest zero via two min-plus ``lax.scan`` passes, then the
+    exact row pass ``D²(i,j) = min_k g(i,k)² + (j-k)²`` evaluated as a
+    ``lax.map`` over output columns so memory stays O(B·H·W) instead of
+    O(B·H·W²). NHWC bool in, float32 out; fully jit-able, no host callbacks
+    (the axon TPU runtime lacks ``pure_callback``).
 
-    def dilate(m):
-        return jax.lax.reduce_window(m, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
-                                     (1, 1, 1, 1), "SAME")
+    Degenerate all-nonzero input (no zero anywhere) is clamped to the image
+    diagonal instead of scipy's boundary-anchored garbage values.
+    """
+    zero = jnp.logical_not(nonzero)
+    zf = jnp.moveaxis(zero, 1, 0)  # (H, B, W, C), scan over rows
 
-    def erode(m):
-        return -jax.lax.reduce_window(-m, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
-                                      (1, 1, 1, 1), "SAME")
+    def step(carry, z):
+        d = jnp.where(z, 0.0, carry + 1.0)
+        return d, d
 
-    def body(_, carry):
-        grown, shrunk, dist = carry
-        new_grown = dilate(grown)
-        new_shrunk = erode(shrunk)
-        # outside pixels not yet reached add +1; inside pixels not yet eroded add +1
-        dist = dist + (1.0 - new_grown) + new_shrunk
-        return new_grown, new_shrunk, dist
+    init = jnp.full(zf.shape[1:], _EDT_BIG, jnp.float32)
+    _, fwd = jax.lax.scan(step, init, zf)
+    _, bwd = jax.lax.scan(step, init, zf, reverse=True)
+    g2 = jnp.square(jnp.moveaxis(jnp.minimum(fwd, bwd), 0, 1))  # (B,H,W,C)
 
-    init = (inside, inside, jnp.zeros_like(inside))
-    _, _, dist = jax.lax.fori_loop(0, max_dist, body, init)
-    return dist
+    w = g2.shape[2]
+    k = jnp.arange(w, dtype=jnp.float32)
+
+    def col(j):
+        par = jnp.square(k - j.astype(jnp.float32))  # (W,)
+        return jnp.min(g2 + par[None, None, :, None], axis=2)  # (B,H,C)
+
+    d2 = jax.lax.map(col, jnp.arange(w))  # (W, B, H, C)
+    d2 = jnp.moveaxis(d2, 0, 2)  # (B, H, W, C)
+    diag2 = float(g2.shape[1] ** 2 + w ** 2)
+    return jnp.sqrt(jnp.minimum(d2, diag2))
 
 
-def hausdorff_dt_loss(logits: Array, target: Array, *, alpha: float = 2.0,
-                      method: str = "auto") -> Array:
+def edt_field(mask: Array) -> Array:
+    """MONAI ``HausdorffDTLoss.distance_field`` equivalent: ``edt(m) + edt(~m)``
+    per (batch, channel), zeroed when the mask is empty (MONAI's ``m.any()``
+    guard). Exact on every backend."""
+    m = mask > 0.5
+    field = _edt_binary(m) + _edt_binary(jnp.logical_not(m))
+    nonempty = jnp.any(m, axis=(1, 2), keepdims=True)
+    return jnp.where(nonempty, field, 0.0)
+
+
+def hausdorff_dt_loss(logits: Array, target: Array, *, alpha: float = 2.0) -> Array:
     """MONAI ``HausdorffDTLoss(sigmoid=True)`` equivalent: (p-g)² weighted by
-    distance-transform fields of prediction and target (both stop-gradient,
-    matching MONAI which computes the EDT on CPU).
-
-    method: 'host' → exact scipy EDT via ``pure_callback`` (CPU backends);
-    'device' → clipped-Chebyshev on-device transform (TPU backends without
-    host-callback support, e.g. axon); 'auto' picks by backend."""
-    if method == "auto":
-        method = "host" if jax.default_backend() == "cpu" else "device"
+    exact Euclidean distance-transform fields of prediction and target (both
+    stop-gradient, matching MONAI which computes the EDT on CPU). The EDT runs
+    fully on device (:func:`edt_field`), so TPU loss values match MONAI to fp
+    tolerance — no host callback, no Chebyshev approximation."""
     p = jax.nn.sigmoid(logits)
-    if method == "host":
-        shape = jax.ShapeDtypeStruct(p.shape, jnp.float32)
-        dt_pred = jax.pure_callback(_edt_host, shape, jax.lax.stop_gradient(p))
-        dt_target = jax.pure_callback(_edt_host, shape, jax.lax.stop_gradient(target))
-    else:
-        dt_pred = _edt_device(jax.lax.stop_gradient(p))
-        dt_target = _edt_device(jax.lax.stop_gradient(target))
+    dt_pred = edt_field(jax.lax.stop_gradient(p))
+    dt_target = edt_field(jax.lax.stop_gradient(target))
     dist = jnp.power(dt_pred, alpha) + jnp.power(dt_target, alpha)
     return jnp.mean(jnp.square(p - target) * dist)
 

@@ -5,6 +5,11 @@ curated mapping, and emit ``mapping.csv`` with dims / tumor pixels / bbox.
 Behavioural twin of ``src/dataset/Curated_BUSI_preprocessing.py:147-178``
 (same folder layout, file naming, and CSV columns), exposed as a function +
 CLI instead of module-level constants.
+
+The compute inner loop (nearest resize, saturating mask merge, mask
+statistics) runs through the native C++ library (``native/mtbc_native.cpp``
+via :mod:`multi_task_breast_cancer_tpu.native`, cv2-parity-tested in
+``tests/test_native.py``); cv2 is used only for PNG IO.
 """
 
 from __future__ import annotations
@@ -15,6 +20,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
+
+from multi_task_breast_cancer_tpu import native
 
 CLASS_NAMES = ["benign", "malignant", "normal"]
 RESIZE_DIMENSIONS = (128, 128)
@@ -29,19 +36,16 @@ def _imread_gray(path: Path) -> np.ndarray:
 
 
 def _resize_nearest(img: np.ndarray, dims: Tuple[int, int]) -> np.ndarray:
-    import cv2
-    return cv2.resize(img, dims, interpolation=cv2.INTER_NEAREST)
+    # dims is (width, height) like cv2.resize's dsize
+    return native.nearest_resize(img, dims[1], dims[0])
 
 
 def size_tumor(seg: np.ndarray) -> Tuple[int, int, int, int, int, int]:
     """Tumor bounding box (ymax, ymin, xmax, xmin, y_size, x_size);
     zeros when empty (``Curated_BUSI_preprocessing.py:45-51``)."""
-    y_idx, x_idx = np.nonzero(seg != 0)
-    if len(y_idx) == 0:
-        return 0, 0, 0, 0, 0, 0
-    ymin, xmin = int(np.min(y_idx)), int(np.min(x_idx))
-    ymax, xmax = int(np.max(y_idx) + 1), int(np.max(x_idx) + 1)
-    return ymax, ymin, xmax, xmin, ymax - ymin, xmax - xmin
+    s = native.mask_stats(seg)
+    return (s["y_max"], s["y_min"], s["x_max"], s["x_min"],
+            s["y_size"], s["x_size"])
 
 
 def _list_class_ids(class_path: Path) -> Tuple[List[str], Dict[str, int]]:
@@ -98,11 +102,10 @@ def preprocess_busi(input_folder: str | Path, output_folder: str | Path,
             if not img_file.exists():
                 continue
             img = _imread_gray(img_file)
-            total_mask = _imread_gray(class_path / f"{cls} ({raw_id})_mask.png").astype(np.int64)
+            total_mask = _imread_gray(class_path / f"{cls} ({raw_id})_mask.png")
             for extra in range(1, mask_counts.get(raw_id, 1)):
-                total_mask = total_mask + _imread_gray(
-                    class_path / f"{cls} ({raw_id})_mask_{extra}.png").astype(np.int64)
-            total_mask = np.clip(total_mask, 0, 255).astype(np.uint8)
+                total_mask = native.add_saturate(total_mask, _imread_gray(
+                    class_path / f"{cls} ({raw_id})_mask_{extra}.png"))
 
             img_r = _resize_nearest(img, resize)
             mask_r = _resize_nearest(total_mask, resize)

@@ -6,6 +6,7 @@ import argparse
 from pathlib import Path
 
 from multi_task_breast_cancer_tpu.config import DEFAULT_CONFIG_YAML, load_config
+from multi_task_breast_cancer_tpu.parallel import multihost
 from multi_task_breast_cancer_tpu.train.driver import run_experiment
 
 DEFAULT_CONFIG_PATHS = ("./config.yaml", "./src/config.yaml")
@@ -16,7 +17,18 @@ def run_entry(task: str, mode: str) -> str:
     parser.add_argument("--config", default=None,
                         help="YAML config (defaults to ./config.yaml or ./src/config.yaml)")
     parser.add_argument("--run-root", default="runs")
+    parser.add_argument("--coordinator", default=None,
+                        help="host:port of the jax.distributed coordinator "
+                             "(multi-host runs; also auto-detected on TPU pods)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args()
+
+    # Multi-host runtime init must happen before any device query. No-op on
+    # single host; on pods/explicit clusters the mesh then spans all processes.
+    multihost.initialize(coordinator_address=args.coordinator,
+                         num_processes=args.num_processes,
+                         process_id=args.process_id)
 
     config_path = args.config
     if config_path is None:

@@ -37,21 +37,33 @@ from multi_task_breast_cancer_tpu.train.state import create_train_state
 CLASS_NAMES = ["benign", "malignant", "normal"]
 
 
-def load_images(folder: str | Path, size: int = 128) -> tuple[np.ndarray, list]:
+def load_images(folder: str | Path, size: int = 128,
+                augmentations: dict | None = None) -> tuple[np.ndarray, list]:
+    """Load serving inputs with the SAME channel stack as training: grayscale
+    channel + any config-enabled augment channels (CLAHE/Sobel/…), so the
+    checkpointed model's input width matches (``ops.image_ops``)."""
     import cv2
     from multi_task_breast_cancer_tpu import native
+    from multi_task_breast_cancer_tpu.ops.image_ops import build_augment_channels
 
-    paths = sorted(Path(folder).glob("*.png"))
-    imgs = []
-    for p in paths:
+    augmentations = augmentations or {}
+    imgs, kept_paths = [], []
+    for p in sorted(Path(folder).glob("*.png")):
         img = cv2.imread(str(p), 0)
         if img is None:
             logging.warning("skipping unreadable %s", p)
             continue
         if img.shape != (size, size):
             img = native.nearest_resize(img, size, size)
-        imgs.append(img.astype(np.float32)[..., None])
-    return np.stack(imgs), paths
+        chan = img.astype(np.float32)[..., None]
+        if any(augmentations.values()):
+            chan = np.concatenate(
+                [chan, build_augment_channels(img, augmentations)], axis=-1)
+        imgs.append(chan)
+        kept_paths.append(p)
+    if not imgs:
+        raise SystemExit(f"no readable PNG images found in {folder}")
+    return np.stack(imgs), kept_paths
 
 
 def main() -> None:
@@ -68,8 +80,9 @@ def main() -> None:
 
     cfg = load_config(args.config)
     n_classes = len(cfg.data.classes)
-    images, paths = load_images(args.images, args.size)
-    logging.info("loaded %d images", len(images))
+    images, paths = load_images(args.images, args.size,
+                                augmentations=cfg.data.augmentation.as_dict())
+    logging.info("loaded %d images (%d channels)", len(images), images.shape[-1])
 
     model = _build_model(cfg, args.task)
     tx = init_optimizer(cfg.optimizer.opt, cfg.optimizer.lr)
@@ -77,7 +90,7 @@ def main() -> None:
                                             batch_size=cfg.data.batch_size,
                                             compute_dtype=cfg.training.compute_dtype))
     state = create_train_state(model, tx, jax.random.PRNGKey(0),
-                               jnp.zeros((1, args.size, args.size, 1)))
+                               jnp.zeros((1, args.size, args.size, images.shape[-1])))
     state = load_pretrained_model(state, args.checkpoint)
 
     out_dir = Path(args.output)

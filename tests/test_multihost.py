@@ -1,0 +1,91 @@
+"""Multi-host support: a REAL 2-process jax.distributed run on CPU.
+
+Spawns two subprocesses that initialise through
+``parallel.multihost.initialize`` (explicit coordinator — the same path a
+manual cluster uses), build the global data mesh, shard a batch with
+``process_local_slice`` + ``make_array_from_process_local_data``, and run a
+jitted gradient step whose all-reduce crosses processes (Gloo on CPU; the
+identical program rides ICI/DCN on TPU pods). The reference has no
+distributed capability at all — this is a new-framework feature, tested for
+correctness against the analytic result.
+"""
+
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+WORKER = r"""
+import os, sys
+proc_id = int(sys.argv[1]); port = sys.argv[2]
+import jax
+jax.config.update("jax_platforms", "cpu")
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+from multi_task_breast_cancer_tpu.parallel import multihost
+from multi_task_breast_cancer_tpu.parallel.mesh import data_mesh
+
+active = multihost.initialize(coordinator_address=f"localhost:{port}",
+                              num_processes=2, process_id=proc_id)
+assert active, "distributed init did not activate"
+assert jax.process_count() == 2
+assert jax.device_count() == 4  # 2 hosts x 2 virtual cpu devices
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+mesh = data_mesh()
+assert mesh is not None and mesh.devices.size == 4
+
+# global batch of 8 rows; each process owns its half via process_local_slice
+n_global = 8
+sl = multihost.process_local_slice(n_global)
+assert sl == slice(4 * proc_id, 4 * proc_id + 4)
+x_global = np.arange(n_global, dtype=np.float32).reshape(n_global, 1)
+spec = NamedSharding(mesh, P("data"))
+x = jax.make_array_from_process_local_data(spec, x_global[sl], (n_global, 1))
+
+w = jnp.ones((1,), jnp.float32)
+
+def loss_fn(w, x):
+    return jnp.mean(jnp.square(x[:, 0] * w[0]))
+
+g = jax.jit(jax.grad(loss_fn), out_shardings=NamedSharding(mesh, P()))(w, x)
+# d/dw mean((x*w)^2) at w=1 -> 2*mean(x^2) = 2*140/8 = 35
+expected = 2.0 * float(np.mean(x_global ** 2))
+got = float(jax.device_get(g)[0])
+assert abs(got - expected) < 1e-5, (got, expected)
+print(f"OK proc={proc_id} grad={got}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_distributed_training_step(tmp_path):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = {"PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": "/root",
+           "PYTHONPATH": str(Path(__file__).resolve().parent.parent)}
+    procs = [subprocess.Popen([sys.executable, str(script), str(i), str(port)],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env)
+             for i in range(2)]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert f"OK proc={i}" in out
+
+
+def test_initialize_noop_on_single_host(monkeypatch):
+    """No coordinator + no pod env ⇒ returns False with zero side effects."""
+    from multi_task_breast_cancer_tpu.parallel import multihost
+    monkeypatch.delenv("MEGASCALE_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+    assert multihost.initialize() is False
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert multihost.initialize() is False

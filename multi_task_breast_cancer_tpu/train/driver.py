@@ -46,7 +46,12 @@ from multi_task_breast_cancer_tpu.ops.metrics import (
 from multi_task_breast_cancer_tpu.parallel.mesh import data_mesh
 from multi_task_breast_cancer_tpu.train import inference as I
 from multi_task_breast_cancer_tpu.train.checkpoint import load_pretrained_model, save_checkpoint
-from multi_task_breast_cancer_tpu.train.loop import Engine, EngineConfig, plan_epoch_indices
+from multi_task_breast_cancer_tpu.train.loop import (
+    Engine,
+    EngineConfig,
+    plan_epoch_indices,
+    step_valid_mask,
+)
 from multi_task_breast_cancer_tpu.train.optim import (
     CosineAnnealingScheduler,
     get_learning_rate,
@@ -83,11 +88,12 @@ def _build_model(cfg: Config, task: str):
                                 deep_supervision=cfg.model.deep_supervision)
 
 
-def quick_test_dice(engine: Engine, state, test_ds, fill_holes: bool = True) -> float:
+def quick_test_dice(engine: Engine, state, test_ds, fill_holes: bool = True,
+                    pad_to: int | None = None) -> float:
     """Per-image mean test DICE (the number the seg drivers log each epoch,
     ``training_segmentation.py:179-196``) without the reference's per-epoch
     PNG/Hausdorff overhead: one batched forward + host hole-filling."""
-    out = engine.predict(state, test_ds.images)
+    out = engine.predict(state, test_ds.images, pad_to=pad_to)
     if engine.cfg.task == "multitask":
         out = out[1]
     final = out[-1] if isinstance(out, (tuple, list)) else out
@@ -183,6 +189,16 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
     )
     engine = Engine(model, tx, ecfg, mesh)
 
+    # Cross-fold shape padding: oversampling gives each fold a different train
+    # size, which would recompile the (expensive) train scan per fold. Padding
+    # every fold's data arrays + index plan to the cross-fold maximum (wrapped
+    # rows, padded steps masked out as no-ops) makes the program fold-invariant
+    # — folds 1+ reuse fold 0's compilation (logged per fold).
+    B = cfg.data.batch_size
+    max_train_n = max(len(f.train) for f in folds)
+    max_steps = -(-max_train_n // B)
+    max_test_n = max(len(f.test) for f in folds)
+
     for n, fold in enumerate(folds):
         logging.info("\n\n *********************  FOLD %d  ********************* \n\n", n)
         fold_time = time.perf_counter()
@@ -199,8 +215,9 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
             t_max=int(cfg.optimizer.t_max), factor=float(cfg.optimizer.decrease_factor),
             min_lr=float(cfg.optimizer.min_lr), patience=int(cfg.optimizer.patience))
 
-        train_data = engine.device_data(fold.train)
+        train_data = engine.device_data(fold.train, pad_to=max_train_n)
         val_data = engine.device_data(fold.val) if fold.val is not None else None
+        step_valid = step_valid_mask(len(fold.train), B, max_steps)
         metrics_path = f"{run_path}/fold_{n}/metrics.csv"
         write_metrics_file(metrics_path, header)
 
@@ -213,15 +230,17 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
             current_lr = get_learning_rate(state.opt_state)
             t0 = time.perf_counter()
 
-            perm = plan_epoch_indices(len(fold.train), cfg.data.batch_size, host_rng)
+            perm = plan_epoch_indices(len(fold.train), cfg.data.batch_size,
+                                      host_rng, pad_to_steps=max_steps)
             epoch_key = jax.random.fold_in(fold_key, epoch + 1)
             with maybe_profile(epoch, n):
                 if val_data is not None:
                     # fused train+eval: one device program, one metric fetch
                     state, tm, vm = engine.train_and_eval_epoch(
-                        state, train_data, val_data, perm, epoch_key)
+                        state, train_data, val_data, perm, epoch_key, step_valid)
                 else:
-                    state, tm = engine.train_epoch(state, train_data, perm, epoch_key)
+                    state, tm = engine.train_epoch(state, train_data, perm,
+                                                   epoch_key, step_valid)
                     vm = None
             check_finite_loss(tm["loss"])
             monitor = vm["loss"] if vm is not None else tm["loss"]
@@ -246,7 +265,8 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
 
             dt = time.perf_counter() - t0
             if task == "segmentation":
-                test_dice = quick_test_dice(engine, state, fold.test)
+                test_dice = quick_test_dice(engine, state, fold.test,
+                                            pad_to=max_test_n)
                 if mode == "CV":
                     logging.info(
                         "EPOCH %d --> || Training loss %.4f || Validation loss %.4f "

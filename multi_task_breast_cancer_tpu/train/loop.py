@@ -67,14 +67,29 @@ def make_cls_targets(labels: np.ndarray, n_classes: int) -> np.ndarray:
     return labels.astype(np.float32)[:, None]
 
 
-def plan_epoch_indices(n: int, batch_size: int, rng: np.random.Generator) -> np.ndarray:
-    """Shuffled index array padded to steps·B by wrap-around (static shapes)."""
+def plan_epoch_indices(n: int, batch_size: int, rng: np.random.Generator,
+                       pad_to_steps: Optional[int] = None) -> np.ndarray:
+    """Shuffled index array padded to steps·B by wrap-around (static shapes).
+
+    ``pad_to_steps`` pads further to a cross-fold maximum so the train scan
+    compiles ONCE for all folds despite oversampling changing each fold's
+    length — the extra steps are no-ops via the ``step_valid`` mask (see
+    :func:`step_valid_mask`); only the natural ``ceil(n/B)`` steps train."""
     perm = rng.permutation(n)
     steps = -(-n // batch_size)
+    if pad_to_steps is not None:
+        steps = max(steps, pad_to_steps)
     pad = steps * batch_size - n
     if pad:
-        perm = np.concatenate([perm, perm[:pad]])
+        reps = -(-pad // n)
+        perm = np.concatenate([perm] + [perm] * reps)[:steps * batch_size]
     return perm.astype(np.int32)
+
+
+def step_valid_mask(n: int, batch_size: int, total_steps: int) -> np.ndarray:
+    """1.0 for the real ``ceil(n/B)`` steps, 0.0 for cross-fold padding steps."""
+    real = -(-n // batch_size)
+    return (np.arange(total_steps) < real).astype(np.float32)
 
 
 class Engine:
@@ -197,17 +212,19 @@ class Engine:
         return tuple(jax.lax.with_sharding_constraint(a, spec) for a in arrays)
 
     def _train_epoch_impl(self, state: TrainState, images, masks, cls_targets,
-                          labels_int, perm, key):
+                          labels_int, perm, key, step_valid=None):
         cfg = self.cfg
         B = cfg.batch_size
         steps = perm.shape[0] // B
         idx = perm.reshape(steps, B)
         keys = jax.random.split(key, steps)
         n_cm = max(cfg.n_classes, 2)
+        if step_valid is None:
+            step_valid = jnp.ones((steps,), jnp.float32)
 
         def body(carry, xs):
             state, sums = carry
-            batch_idx, k = xs
+            batch_idx, k, valid = xs
             imgs = jnp.take(images, batch_idx, axis=0)
             msks = jnp.take(masks, batch_idx, axis=0)
             ctgt = jnp.take(cls_targets, batch_idx, axis=0)
@@ -234,29 +251,35 @@ class Engine:
                 loss_fn, has_aux=True)(state.params)
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
-            state = TrainState(params=new_params, batch_stats=new_bs,
-                               opt_state=new_opt, step=state.step + 1)
+            new_state = TrainState(params=new_params, batch_stats=new_bs,
+                                   opt_state=new_opt, step=state.step + 1)
+            # cross-fold padding steps are no-ops: keep the old state wholesale
+            # (a zero-grad Adam step would still decay the moments)
+            state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(valid > 0, new, old), new_state, state)
 
             sm = self._step_metrics(aux, msks, lint, sums["cm"])
             sums = {
-                "loss": sums["loss"] + loss,
-                "seg_loss": sums["seg_loss"] + aux.get("seg_loss", 0.0),
-                "cls_loss": sums["cls_loss"] + aux.get("cls_loss", 0.0),
-                "dice": sums["dice"] + sm.get("dice", 0.0),
-                "cm": sm.get("cm", sums["cm"]),
+                "loss": sums["loss"] + valid * loss,
+                "seg_loss": sums["seg_loss"] + valid * aux.get("seg_loss", 0.0),
+                "cls_loss": sums["cls_loss"] + valid * aux.get("cls_loss", 0.0),
+                "dice": sums["dice"] + valid * sm.get("dice", 0.0),
+                "cm": jnp.where(valid > 0, sm.get("cm", sums["cm"]), sums["cm"]),
             }
             return (state, sums), None
 
         init = {"loss": jnp.zeros(()), "seg_loss": jnp.zeros(()),
                 "cls_loss": jnp.zeros(()), "dice": jnp.zeros(()),
                 "cm": jnp.zeros((n_cm, n_cm))}
-        (state, sums), _ = jax.lax.scan(body, (state, init), (idx, keys))
+        (state, sums), _ = jax.lax.scan(body, (state, init),
+                                        (idx, keys, step_valid))
 
+        n_real = jnp.maximum(jnp.sum(step_valid), 1.0)
         metrics = {
-            "loss": sums["loss"] / steps,
-            "seg_loss": sums["seg_loss"] / steps,
-            "cls_loss": sums["cls_loss"] / steps,
-            "dice": sums["dice"] / steps,
+            "loss": sums["loss"] / n_real,
+            "seg_loss": sums["seg_loss"] / n_real,
+            "cls_loss": sums["cls_loss"] / n_real,
+            "dice": sums["dice"] / n_real,
             "acc": M.accuracy_from_cm(sums["cm"]),
             "f1": M.f1_weighted_from_cm(sums["cm"]),
             # flavour used by the classification driver: micro-F1 over a fixed
@@ -296,12 +319,13 @@ class Engine:
         }
 
     def _train_eval_impl(self, state: TrainState, t_images, t_masks, t_cls, t_lint,
-                         perm, key, v_images, v_masks, v_cls, v_lint):
+                         perm, key, v_images, v_masks, v_cls, v_lint,
+                         step_valid=None):
         """Train epoch + validation pass in ONE device program: halves the
         per-epoch dispatch/fetch round-trips (significant on remote-tunnel
         runtimes) and lets XLA overlap the tail of training with eval setup."""
         state, tmetrics = self._train_epoch_impl(
-            state, t_images, t_masks, t_cls, t_lint, perm, key)
+            state, t_images, t_masks, t_cls, t_lint, perm, key, step_valid)
         vmetrics = self._eval_epoch_impl(state, v_images, v_masks, v_cls, v_lint)
         return state, tmetrics, vmetrics
 
@@ -323,10 +347,12 @@ class Engine:
         return dict(zip(names, vec.astype(float).tolist()))
 
     def train_epoch(self, state: TrainState, data: Dict[str, Any], perm: np.ndarray,
-                    key: jax.Array) -> Tuple[TrainState, Dict[str, float]]:
+                    key: jax.Array, step_valid: Optional[np.ndarray] = None
+                    ) -> Tuple[TrainState, Dict[str, float]]:
+        sv = None if step_valid is None else jnp.asarray(step_valid)
         state, metrics = self._train_epoch(
             state, data["images"], data["masks"], data["cls_targets"],
-            data["labels_int"], jnp.asarray(perm), key)
+            data["labels_int"], jnp.asarray(perm), key, sv)
         return state, self._fetch_metrics(metrics)
 
     def eval_epoch(self, state: TrainState, data: Dict[str, Any]) -> Dict[str, float]:
@@ -336,15 +362,17 @@ class Engine:
 
     def train_and_eval_epoch(self, state: TrainState, train_data: Dict[str, Any],
                              val_data: Dict[str, Any], perm: np.ndarray,
-                             key: jax.Array
+                             key: jax.Array,
+                             step_valid: Optional[np.ndarray] = None
                              ) -> Tuple[TrainState, Dict[str, float], Dict[str, float]]:
         """One device program + one metric fetch for train epoch + validation."""
+        sv = None if step_valid is None else jnp.asarray(step_valid)
         state, tm, vm = self._train_eval_epoch(
             state, train_data["images"], train_data["masks"],
             train_data["cls_targets"], train_data["labels_int"],
             jnp.asarray(perm), key,
             val_data["images"], val_data["masks"],
-            val_data["cls_targets"], val_data["labels_int"])
+            val_data["cls_targets"], val_data["labels_int"], sv)
         both = {f"t_{k}": v for k, v in tm.items()}
         both.update({f"v_{k}": v for k, v in vm.items()})
         fetched = self._fetch_metrics(both)
@@ -352,12 +380,22 @@ class Engine:
         vmf = {k[2:]: v for k, v in fetched.items() if k.startswith("v_")}
         return state, tmf, vmf
 
-    def predict(self, state: TrainState, images, max_batch: int = 1024) -> Any:
+    def predict(self, state: TrainState, images, max_batch: int = 1024,
+                pad_to: Optional[int] = None) -> Any:
         """Batched inference. Sets ≤ ``max_batch`` run as one forward; larger
         sets run in fixed-size chunks (last chunk wrap-padded so every chunk
-        reuses one compiled program) and the outputs are concatenated."""
+        reuses one compiled program) and the outputs are concatenated.
+
+        ``pad_to`` wrap-pads the batch to a cross-fold maximum size and trims
+        the outputs back, so per-fold test-set size differences reuse one
+        compiled forward program."""
         images = jnp.asarray(images)
         n = images.shape[0]
+        if pad_to is not None and n < pad_to:
+            reps = -(-(pad_to - n) // n)
+            images = jnp.concatenate([images] + [images] * reps, axis=0)[:pad_to]
+            out = self.predict(state, images, max_batch=max_batch)
+            return jax.tree_util.tree_map(lambda a: a[:n], out)
         if n <= max_batch:
             return self._predict(state, images)
         steps = -(-n // max_batch)
@@ -369,17 +407,30 @@ class Engine:
         merged = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
         return jax.tree_util.tree_map(lambda a: a[:n], merged)
 
-    def device_data(self, ds: ArrayDataset) -> Dict[str, Any]:
+    def device_data(self, ds: ArrayDataset, pad_to: Optional[int] = None
+                    ) -> Dict[str, Any]:
         """Transfer one split to device arrays (once per fold).
 
         Under bf16 mixed precision images/masks are stored as bf16 in HBM:
         raw intensities (0..255 integers) and binary masks are exactly
         representable, and the per-step gather + augmentation move half the
-        bytes."""
+        bytes.
+
+        ``pad_to`` wrap-pads the sample axis to a cross-fold maximum so every
+        fold's arrays share one shape (oversampling varies fold sizes); padded
+        rows are never gathered — epoch index plans only reference real rows."""
+        def _pad(a: np.ndarray) -> np.ndarray:
+            n = a.shape[0]
+            if pad_to is None or n >= pad_to:
+                return a
+            reps = -(-(pad_to - n) // n)
+            return np.concatenate([a] + [a] * reps, axis=0)[:pad_to]
+
         dt = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
         return {
-            "images": jnp.asarray(ds.images, dt),
-            "masks": jnp.asarray(ds.masks, dt),
-            "cls_targets": jnp.asarray(make_cls_targets(ds.labels, self.cfg.n_classes)),
-            "labels_int": jnp.asarray(ds.labels),
+            "images": jnp.asarray(_pad(ds.images), dt),
+            "masks": jnp.asarray(_pad(ds.masks), dt),
+            "cls_targets": jnp.asarray(
+                _pad(make_cls_targets(ds.labels, self.cfg.n_classes))),
+            "labels_int": jnp.asarray(_pad(ds.labels)),
         }

@@ -211,6 +211,17 @@ class Engine:
         spec = NamedSharding(self.mesh, P("data"))
         return tuple(jax.lax.with_sharding_constraint(a, spec) for a in arrays)
 
+    @property
+    def _compute_dt(self):
+        return jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def _to_compute(self, *arrays):
+        """Cast HBM-storage dtypes (uint8 for integral image/mask data) to the
+        compute dtype right after the per-step gather — the gather then moves
+        1 byte/px instead of 2 (bf16) or 4 (f32) of HBM traffic."""
+        dt = self._compute_dt
+        return tuple(a.astype(dt) if a.dtype != dt else a for a in arrays)
+
     def _train_epoch_impl(self, state: TrainState, images, masks, cls_targets,
                           labels_int, perm, key, step_valid=None):
         cfg = self.cfg
@@ -229,6 +240,7 @@ class Engine:
             msks = jnp.take(masks, batch_idx, axis=0)
             ctgt = jnp.take(cls_targets, batch_idx, axis=0)
             lint = jnp.take(labels_int, batch_idx, axis=0)
+            imgs, msks = self._to_compute(imgs, msks)
             imgs, msks, ctgt = self._shard_batch(imgs, msks, ctgt)
 
             k_aug, k_drop = jax.random.split(k)
@@ -302,6 +314,7 @@ class Engine:
         statistically equivalent to the reference's mean-over-batches)."""
         cfg = self.cfg
         n_cm = max(cfg.n_classes, 2)
+        images, masks = self._to_compute(images, masks)
         (images, masks, cls_targets) = self._shard_batch(images, masks, cls_targets)
         out, _ = self._apply(state.params, state.batch_stats, images, train=False)
         loss, aux = self._losses(out, masks, cls_targets)
@@ -407,14 +420,26 @@ class Engine:
         merged = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
         return jax.tree_util.tree_map(lambda a: a[:n], merged)
 
+    @staticmethod
+    def _storage_dtype(a: np.ndarray, fallback) -> Any:
+        """uint8 when the data is integral in [0,255] (PNG intensities /
+        binary masks — the whole real pipeline), else the compute dtype.
+        uint8 storage quarters (vs f32) or halves (vs bf16) the bytes the
+        per-step gather moves through HBM; the in-step cast back is free
+        (fused into the gather's consumer). Values are exactly representable
+        either way, so the training trajectory is bit-identical."""
+        if (np.issubdtype(a.dtype, np.integer) or np.all(a == np.rint(a))) \
+                and a.size and 0 <= a.min() and a.max() <= 255:
+            return jnp.uint8
+        return fallback
+
     def device_data(self, ds: ArrayDataset, pad_to: Optional[int] = None
                     ) -> Dict[str, Any]:
         """Transfer one split to device arrays (once per fold).
 
-        Under bf16 mixed precision images/masks are stored as bf16 in HBM:
-        raw intensities (0..255 integers) and binary masks are exactly
-        representable, and the per-step gather + augmentation move half the
-        bytes.
+        Integral image/mask data (the real pipeline: PNG intensities 0..255,
+        binary masks) is stored as uint8 in HBM and cast to the compute dtype
+        after the per-step gather — see :meth:`_storage_dtype`.
 
         ``pad_to`` wrap-pads the sample axis to a cross-fold maximum so every
         fold's arrays share one shape (oversampling varies fold sizes); padded
@@ -426,10 +451,10 @@ class Engine:
             reps = -(-(pad_to - n) // n)
             return np.concatenate([a] + [a] * reps, axis=0)[:pad_to]
 
-        dt = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+        dt = self._compute_dt
         return {
-            "images": jnp.asarray(_pad(ds.images), dt),
-            "masks": jnp.asarray(_pad(ds.masks), dt),
+            "images": jnp.asarray(_pad(ds.images), self._storage_dtype(ds.images, dt)),
+            "masks": jnp.asarray(_pad(ds.masks), self._storage_dtype(ds.masks, dt)),
             "cls_targets": jnp.asarray(
                 _pad(make_cls_targets(ds.labels, self.cfg.n_classes))),
             "labels_int": jnp.asarray(_pad(ds.labels)),

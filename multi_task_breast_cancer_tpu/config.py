@@ -22,6 +22,11 @@ class ModelConfig:
     sequences: int = 1
     width: int = 24
     deep_supervision: bool = True
+    # TPU-native addition: override the nnU-Net family's fixed level widths
+    # (reference hard-codes (32,64,128,256,320) and ignores ``width``,
+    # ``src/models/segmentation/nnUNet.py:70``). None keeps reference parity;
+    # narrow overrides enable CPU-scale learnability tests.
+    nnunet_widths: Optional[List[int]] = None
 
 
 @dataclass

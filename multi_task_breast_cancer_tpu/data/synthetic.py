@@ -14,17 +14,32 @@ import pandas as pd
 CLASSES = ("benign", "malignant", "normal")
 
 
-def _blob_image(rng: np.random.Generator, size: int, with_tumor: bool
+def _blob_image(rng: np.random.Generator, size: int, with_tumor: bool,
+                bright_tumor: bool = False, learnable_style: bool = False
                 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Speckle-noise image; optional elliptical hypoechoic 'tumor' + its mask."""
-    img = (rng.normal(120, 40, (size, size))).clip(0, 255)
+    """Speckle-noise image; optional elliptical 'tumor' + its mask.
+
+    ``learnable_style`` (used by the *learnable* fixtures) makes the set
+    provably fittable at CI scale: lower background noise, larger lesions,
+    strong lesion/background contrast, and class a pure function of the image
+    — dark lesion = benign, bright lesion = malignant (``bright_tumor``),
+    none = normal. Default style keeps the original harder statistics."""
+    sigma = 25 if learnable_style else 40
+    img = (rng.normal(120, sigma, (size, size))).clip(0, 255)
     mask = np.zeros((size, size), np.uint8)
     if with_tumor:
         cy, cx = rng.integers(size // 4, 3 * size // 4, 2)
-        ry, rx = rng.integers(size // 10, size // 4, 2)
+        lo, hi = (size // 6, size // 3) if learnable_style else (size // 10, size // 4)
+        ry, rx = rng.integers(lo, hi, 2)
         yy, xx = np.mgrid[0:size, 0:size]
         ellipse = ((yy - cy) / max(ry, 1)) ** 2 + ((xx - cx) / max(rx, 1)) ** 2 <= 1
-        img[ellipse] = (img[ellipse] * 0.35)
+        if learnable_style:
+            img[ellipse] = 235 + img[ellipse] * 0.05 if bright_tumor \
+                else img[ellipse] * 0.12
+        elif bright_tumor:
+            img[ellipse] = (img[ellipse] * 0.4 + 160).clip(0, 255)
+        else:
+            img[ellipse] = (img[ellipse] * 0.35)
         mask[ellipse] = 255
     return img.astype(np.uint8), mask
 
@@ -51,9 +66,13 @@ def make_raw_busi(root: str | Path, n_per_class: int = 6, size: int = 64,
 
 
 def make_preprocessed_busi(root: str | Path, n_per_class: int = 8, size: int = 128,
-                           seed: int = 0) -> Path:
+                           seed: int = 0, learnable: bool = False) -> Path:
     """Create a preprocessed tree directly (images/, masks/, mapping.csv) —
-    the layout ``config.data.input_img`` points at."""
+    the layout ``config.data.input_img`` points at.
+
+    ``learnable=True`` makes class a deterministic function of the image
+    (benign = dark lesion, malignant = bright lesion, normal = none) so
+    convergence tests can assert the model actually learns both tasks."""
     import cv2
     rng = np.random.default_rng(seed)
     root = Path(root)
@@ -62,7 +81,9 @@ def make_preprocessed_busi(root: str | Path, n_per_class: int = 8, size: int = 1
     rows = []
     for cls in CLASSES:
         for i in range(1, n_per_class + 1):
-            img, mask = _blob_image(rng, size, with_tumor=(cls != "normal"))
+            img, mask = _blob_image(rng, size, with_tumor=(cls != "normal"),
+                                    bright_tumor=(learnable and cls == "malignant"),
+                                    learnable_style=learnable)
             img_path = root / "images" / f"{cls}_id_{i}.png"
             mask_path = root / "masks" / f"{cls}_id_{i}_mask.png"
             cv2.imwrite(str(img_path), img)

@@ -51,10 +51,11 @@ class NNUNetClassifierHead(nn.Module):
     ``nnUNet_classifier.py:119-130`` and ``MTnnUNet.py:122-132``)."""
 
     n_out: int = 3
+    widths: tuple = NNUNET_WIDTHS
 
     @nn.compact
     def __call__(self, e5: jnp.ndarray, up5: jnp.ndarray, d5: jnp.ndarray) -> jnp.ndarray:
-        w = NNUNET_WIDTHS
+        w = self.widths
         proc_e5 = ConvInNormLeReLU(w[4], name="process_encoder_5")(e5)
         proc_d5 = ConvInNormLeReLU(w[4], name="process_decoder_5")(d5)
         feats = jnp.concatenate([proc_e5, up5, proc_d5], axis=-1)
@@ -75,12 +76,13 @@ class NNUNetClassifier(nn.Module):
 
     n_classes: int = 3
     apply_softmax: bool = True
+    widths: tuple = NNUNET_WIDTHS
 
     name_str: str = "nn-UNet Classifier"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        w = NNUNET_WIDTHS
+        w = self.widths
         n_out = 1 if self.n_classes == 2 else self.n_classes
 
         e1 = LevelBlock(w[0], w[0], name="encoder1")(x)
@@ -94,7 +96,7 @@ class NNUNetClassifier(nn.Module):
         up5 = deconv(w[4], 2, name="upsample5")(bottleneck)
         d5 = LevelBlock(w[3], w[3], name="decoder5")(jnp.concatenate([e5, up5], axis=-1))
 
-        logits = NNUNetClassifierHead(n_out, name="cls_head")(e5, up5, d5)
+        logits = NNUNetClassifierHead(n_out, self.widths, name="cls_head")(e5, up5, d5)
         if self.apply_softmax and self.n_classes > 2:
             logits = nn.softmax(logits, axis=-1)
         return logits

@@ -29,7 +29,7 @@ from multi_task_breast_cancer_tpu.models.blocks import (
     upsample_nearest_2x,
 )
 from multi_task_breast_cancer_tpu.models.classifiers import NNUNetClassifierHead
-from multi_task_breast_cancer_tpu.models.nnunet import NNUNetBackbone, SegHeads
+from multi_task_breast_cancer_tpu.models.nnunet import NNUNET_WIDTHS, NNUNetBackbone, SegHeads
 
 
 class MTnnUNet(nn.Module):
@@ -43,15 +43,16 @@ class MTnnUNet(nn.Module):
 
     regions: int = 1
     n_classes: int = 3
+    widths: tuple = NNUNET_WIDTHS
 
     name_str: str = "Multi-task nn-UNet"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False):
         n_out = 1 if self.n_classes == 2 else self.n_classes
-        feats = NNUNetBackbone(name="backbone")(x)
-        seg = SegHeads(self.regions, name="heads")(feats)
-        cls = NNUNetClassifierHead(n_out, name="cls_head")(
+        feats = NNUNetBackbone(self.widths, name="backbone")(x)
+        seg = SegHeads(self.regions, self.widths, name="heads")(feats)
+        cls = NNUNetClassifierHead(n_out, self.widths, name="cls_head")(
             feats["e5"], feats["up5"], feats["d5"])
         return (cls,), seg
 

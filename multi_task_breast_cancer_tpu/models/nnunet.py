@@ -27,11 +27,16 @@ NNUNET_WIDTHS = (32, 64, 128, 256, 320)
 
 class NNUNetBackbone(nn.Module):
     """Encoder + bottleneck + full decoder. Returns all intermediate tensors
-    needed by the seg heads and the multitask classification head."""
+    needed by the seg heads and the multitask classification head.
+
+    ``widths`` defaults to the reference constant; narrow overrides exist for
+    CPU-scale learnability tests (the architecture is width-invariant)."""
+
+    widths: Tuple[int, ...] = NNUNET_WIDTHS
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
-        w = NNUNET_WIDTHS
+        w = self.widths
 
         e1 = LevelBlock(w[0], w[0], name="encoder1")(x)
         e2 = LevelBlock(w[1], w[1], name="encoder2")(max_pool_2x2(e1))
@@ -62,10 +67,11 @@ class SegHeads(nn.Module):
     """The 4 deep-supervision heads (coarse→fine), each restoring full res."""
 
     regions: int = 1
+    widths: Tuple[int, ...] = NNUNET_WIDTHS
 
     @nn.compact
     def __call__(self, feats) -> Tuple[jnp.ndarray, ...]:
-        w = NNUNET_WIDTHS
+        w = self.widths
         out4 = DeconvHead(w[2], self.regions, 8, name="output4")(feats["d4"])
         out3 = DeconvHead(w[1], self.regions, 4, name="output3")(feats["d3"])
         out2 = DeconvHead(w[0], self.regions, 2, name="output2")(feats["d2"])
@@ -78,10 +84,11 @@ class NNUNet2021(nn.Module):
     (reference ``nnUNet.py:162-168`` always deep-supervises)."""
 
     regions: int = 1
+    widths: Tuple[int, ...] = NNUNET_WIDTHS
 
     name_str: str = "nn-UNet2021"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False):
-        feats = NNUNetBackbone(name="backbone")(x)
-        return SegHeads(self.regions, name="heads")(feats)
+        feats = NNUNetBackbone(self.widths, name="backbone")(x)
+        return SegHeads(self.regions, self.widths, name="heads")(feats)

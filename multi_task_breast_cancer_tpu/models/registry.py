@@ -59,13 +59,19 @@ def save_model_summary(model: nn.Module, params, save_folder: Optional[Path]) ->
         print(f"\nTotal number of trainable parameters: {count_parameters(params)}", file=f)
 
 
+def _nnunet_kw(nnunet_widths) -> dict:
+    """nnU-Net family width override (None = reference constant)."""
+    return {} if nnunet_widths is None else {"widths": tuple(nnunet_widths)}
+
+
 def init_segmentation_model(architecture: str, sequences: int = 1, regions: int = 1,
-                            width: int = 48, deep_supervision: bool = False) -> nn.Module:
+                            width: int = 48, deep_supervision: bool = False,
+                            nnunet_widths=None) -> nn.Module:
     logging.info("Creating %s model (fed with %d sequences)", architecture, sequences)
     if architecture == "BTSUNet":
         return BTSUNet(regions=regions, width=width, deep_supervision=deep_supervision)
     if architecture == "nnUNet":
-        return NNUNet2021(regions=regions)
+        return NNUNet2021(regions=regions, **_nnunet_kw(nnunet_widths))
     if architecture == "UNet":
         return UNet(regions=regions, channels=(width, 2 * width, 4 * width, 8 * width))
     if architecture == "AttentionUNet":
@@ -86,14 +92,14 @@ def init_segmentation_model(architecture: str, sequences: int = 1, regions: int 
 
 
 def init_classification_model(architecture: str, sequences: int = 1, n_classes: int = 3,
-                              width: int = 48) -> nn.Module:
+                              width: int = 48, nnunet_widths=None) -> nn.Module:
     logging.info("Creating %s model (fed with %d sequences)", architecture, sequences)
     if architecture == "BTSUNetClassifier":
         return BTSUNetClassifier(n_classes=n_classes, width=width)
     if architecture == "UNetPlusPlusClassifier":
         return UNetPlusPlusClassifier(n_classes=n_classes)
     if architecture == "nnUNetClassifier":
-        return NNUNetClassifier(n_classes=n_classes)
+        return NNUNetClassifier(n_classes=n_classes, **_nnunet_kw(nnunet_widths))
     raise ValueError(
         f"Unknown classification architecture {architecture!r}. "
         f"Available: {CLASSIFICATION_ARCHS}")
@@ -101,7 +107,8 @@ def init_classification_model(architecture: str, sequences: int = 1, n_classes: 
 
 def init_multitask_model(architecture: str, sequences: int = 1, regions: int = 1,
                          n_classes: int = 3, width: int = 48,
-                         deep_supervision: bool = False) -> nn.Module:
+                         deep_supervision: bool = False,
+                         nnunet_widths=None) -> nn.Module:
     logging.info("Creating %s model (fed with %d sequences)", architecture, sequences)
     if architecture == "Multi_BTSUNet":
         return MultiBTSUNet(regions=regions, n_classes=n_classes, width=width,
@@ -110,7 +117,8 @@ def init_multitask_model(architecture: str, sequences: int = 1, regions: int = 1
         return MTUNetPlusPlus(regions=regions, n_classes=n_classes,
                               deep_supervision=deep_supervision)
     if architecture == "MTnnUNet":
-        return MTnnUNet(regions=regions, n_classes=n_classes)
+        return MTnnUNet(regions=regions, n_classes=n_classes,
+                        **_nnunet_kw(nnunet_widths))
     if architecture == "Multi_FSB_BTSUNet":
         return MultiFSBBTSUNet(regions=regions, width=width,
                                deep_supervision=deep_supervision)

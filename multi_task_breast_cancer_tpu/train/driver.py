@@ -76,16 +76,20 @@ def _build_model(cfg: Config, task: str):
     n_augments = cfg.data.augmentation.n_active()
     sequences = cfg.model.sequences + n_augments
     n_classes = len(cfg.data.classes)
+    nw = cfg.model.nnunet_widths
     if task == "segmentation":
         return init_segmentation_model(cfg.model.architecture, sequences=sequences,
                                        width=cfg.model.width,
-                                       deep_supervision=cfg.model.deep_supervision)
+                                       deep_supervision=cfg.model.deep_supervision,
+                                       nnunet_widths=nw)
     if task == "classification":
         return init_classification_model(cfg.model.architecture, sequences=sequences,
-                                         n_classes=n_classes, width=cfg.model.width)
+                                         n_classes=n_classes, width=cfg.model.width,
+                                         nnunet_widths=nw)
     return init_multitask_model(cfg.model.architecture, sequences=sequences,
                                 n_classes=n_classes, width=cfg.model.width,
-                                deep_supervision=cfg.model.deep_supervision)
+                                deep_supervision=cfg.model.deep_supervision,
+                                nnunet_widths=nw)
 
 
 def quick_test_dice(engine: Engine, state, test_ds, fill_holes: bool = True,

@@ -1,0 +1,61 @@
+"""Learnability: the flagship MTnnUNet (width-reduced) trained under the FULL
+driver on a small *learnable* synthetic set must actually fit both tasks —
+train dice > 0.9 and train accuracy > 0.9 — proving the training dynamics
+(init, losses, DS weighting, optimizer, augmentation, metric accumulation)
+are right, not merely shape-correct.
+
+The synthetic set makes class a deterministic function of the image (benign =
+dark lesion, malignant = bright lesion, normal = none), so both heads are
+provably learnable. Mirrors the quality goal of the reference's headline table
+(``/root/reference/README.md:77``) at CPU-CI scale.
+"""
+
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+from multi_task_breast_cancer_tpu.config import Config, DataConfig, LossConfig, \
+    ModelConfig, OptimizerConfig, TrainingConfig
+from multi_task_breast_cancer_tpu.data import synthetic
+from multi_task_breast_cancer_tpu.train.driver import run_experiment
+
+
+@pytest.mark.slow
+def test_flagship_learns_under_full_driver(tmp_path):
+    root = synthetic.make_preprocessed_busi(tmp_path / "busi", n_per_class=16,
+                                            size=64, learnable=True)
+    cfg = Config(
+        model=ModelConfig(architecture="MTnnUNet",
+                          nnunet_widths=[4, 8, 12, 16, 20]),
+        optimizer=OptimizerConfig(opt="Adam", lr=3e-3, scheduler="plateau"),
+        loss=LossConfig(function="DICE", inversely_weighted=True,
+                        classification_criterion="Focal"),
+        # alpha 0.5 (vs the production 0.35) weights segmentation enough to
+        # converge within a CI-sized budget; data_parallel off — the 8-virtual-
+        # device mesh on one physical CPU core only adds partition overhead
+        training=TrainingConfig(seed=1993, epochs=60, CV=2, max_patience=200,
+                                alpha=0.5, data_parallel=False),
+        data=DataConfig(input_img=str(root), batch_size=8, oversampling=True),
+    )
+    run_path = run_experiment(cfg, task="multitask", mode="CV",
+                              run_root=str(tmp_path / "runs"))
+
+    # headline metrics, measured the reference's way: test-phase per-image
+    # DSC after prediction refinement + test accuracy (README.md:77 table)
+    seg = pd.read_csv(Path(run_path) / "fold_0" / "results_segmentation.csv")
+    cls = pd.read_csv(Path(run_path) / "fold_0" / "results_classification.csv")
+    test_dsc = float(seg["DICE"].mean())
+    test_acc = float((cls["ground_truth"] == cls["predicted_label"]).mean())
+    assert test_dsc > 0.9, f"flagship failed to fit segmentation: {test_dsc}"
+    assert test_acc > 0.9, f"flagship failed to fit classification: {test_acc}"
+
+    # train-side signal: per-epoch batch dice/acc on AUGMENTED batches. The
+    # batch dice is capped below ~0.85 by an inherent property of the
+    # reference objective itself (MONAI dice with squared_pred + smooth 1/1
+    # has a vanishing gradient on empty-GT planes, so normal-class images
+    # keep false positives; the reference clears them via the PR
+    # class==normal⇒empty-mask rule, models.py:326-330 — measured above)
+    tail = pd.read_csv(Path(run_path) / "fold_0" / "metrics.csv").tail(10)
+    assert float(tail["Train_dice"].max()) > 0.8
+    assert float(tail["Train_acc"].max()) > 0.9

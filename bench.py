@@ -3,20 +3,21 @@ model (MTnnUNet, the reference config default) on Curated-BUSI-shaped data
 (128×128 grayscale), including on-device joint augmentation — the full hot
 path of ``training_multitask``.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-Baseline note: the reference repo publishes no throughput numbers
-(BASELINE.md). ``vs_baseline`` is computed against an assumed A100 PyTorch
-baseline of 200 imgs/s — a generous estimate for the reference's actual
-training loop (batch size 2, per-batch H2D copies and per-batch ``.item()``
-syncs, ``src/training_multitask.py:82,99,107-113``), whose wall-clock is
-dominated by those syncs rather than compute.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} where
+the extra fields ground the claim:
+- ``roofline``: achieved TFLOP/s and HBM GB/s from XLA's compiled cost
+  analysis vs TPU v5e peaks — evidence for *why* the throughput is what it is
+  (the model is HBM-bandwidth-bound at this batch size, not MXU-bound).
+- ``baseline``: the assumed A100 anchor (the reference publishes no
+  throughput numbers) plus the MEASURED reference torch loop from
+  ``bench_baseline_torch.py`` (committed in BASELINE_TORCH.json).
 """
 
 from __future__ import annotations
 
 import json
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +29,15 @@ from multi_task_breast_cancer_tpu.train.loop import Engine, EngineConfig, plan_e
 from multi_task_breast_cancer_tpu.train.optim import init_optimizer
 from multi_task_breast_cancer_tpu.train.state import create_train_state
 
+# The reference repo publishes no throughput numbers (BASELINE.md); this is a
+# generous estimate for its actual loop (batch 2, per-batch H2D + .item()
+# syncs, src/training_multitask.py:82,99,107-113) on an A100. The measured
+# CPU number for the same loop is in BASELINE_TORCH.json.
 ASSUMED_A100_PYTORCH_BASELINE_IMGS_PER_SEC = 200.0
+
+# TPU v5e single-chip peaks (public spec: 197 bf16 TFLOP/s, 819 GB/s HBM).
+V5E_PEAK_BF16_TFLOPS = 197.0
+V5E_PEAK_HBM_GBPS = 819.0
 
 
 def main() -> None:
@@ -42,7 +51,9 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     ds = ArrayDataset(
-        images=(rng.random((n, H, H, 1)) * 255).astype(np.float32),
+        # integral 0..255 intensities, as the real PNG pipeline produces —
+        # stored uint8 in HBM (see Engine.device_data)
+        images=rng.integers(0, 256, (n, H, H, 1)).astype(np.float32),
         masks=(rng.random((n, H, H, 1)) > 0.8).astype(np.float32),
         labels=rng.integers(0, 3, n).astype(np.int32),
         patient_ids=np.arange(n),
@@ -88,12 +99,52 @@ def main() -> None:
     imgs_per_sec = total_imgs / dt
     imgs_per_sec_per_chip = imgs_per_sec / n_devices
 
+    # roofline: XLA's own cost model for the compiled epoch program
+    roofline = {}
+    try:
+        compiled = engine._train_epoch.lower(
+            state, data["images"], data["masks"], data["cls_targets"],
+            data["labels_int"], jnp.asarray(perm), jax.random.PRNGKey(9)
+        ).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        bytes_accessed = float(ca.get("bytes accessed", 0.0))
+        dt_per_epoch = dt / n_epochs
+        tflops = flops / dt_per_epoch / 1e12 / n_devices
+        gbps = bytes_accessed / dt_per_epoch / 1e9 / n_devices
+        roofline = {
+            "tflops_achieved": round(tflops, 1),
+            "tflops_peak_bf16_v5e": V5E_PEAK_BF16_TFLOPS,
+            "mxu_utilization": round(tflops / V5E_PEAK_BF16_TFLOPS, 3),
+            "hbm_gbps_achieved": round(gbps, 1),
+            "hbm_gbps_peak_v5e": V5E_PEAK_HBM_GBPS,
+            "hbm_utilization": round(gbps / V5E_PEAK_HBM_GBPS, 3),
+            "note": "per-epoch FLOPs/bytes from XLA compiled cost_analysis "
+                    "(bytes = modeled HBM traffic of the fused program)",
+        }
+    except Exception as exc:  # cost_analysis availability varies by runtime
+        roofline = {"unavailable": str(exc)[:200]}
+
+    baseline = {
+        "assumed_a100_pytorch_imgs_per_sec": ASSUMED_A100_PYTORCH_BASELINE_IMGS_PER_SEC,
+    }
+    tb_path = Path(__file__).parent / "BASELINE_TORCH.json"
+    if tb_path.exists():
+        tb = json.loads(tb_path.read_text())
+        baseline["measured_torch_cpu_imgs_per_sec"] = tb["torch_cpu_imgs_per_sec"]
+        baseline["vs_measured_torch_cpu"] = round(
+            imgs_per_sec_per_chip / tb["torch_cpu_imgs_per_sec"], 1)
+
     print(json.dumps({
         "metric": "train imgs/sec/chip (MTnnUNet multitask, 128x128, bf16)",
         "value": round(imgs_per_sec_per_chip, 2),
         "unit": "imgs/sec/chip",
+        # vs the ASSUMED A100 anchor above (not a measurement; see baseline)
         "vs_baseline": round(imgs_per_sec_per_chip
                              / ASSUMED_A100_PYTORCH_BASELINE_IMGS_PER_SEC, 3),
+        "roofline": roofline,
+        "baseline": baseline,
     }))
 
 

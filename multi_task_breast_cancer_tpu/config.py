@@ -62,6 +62,11 @@ class TrainingConfig:
     # TPU-native additions (absent keys default so reference configs load as-is)
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     data_parallel: bool = True      # shard batches over all visible devices
+    # False (default): best state is snapshotted on device and the checkpoint
+    # file is written once per fold (a per-epoch full-state host fetch costs
+    # ~10s on tunnel runtimes). True: reference cadence — write on every
+    # improvement (CV) / every epoch (CV_PROD), crash-resumable mid-fold.
+    checkpoint_every_epoch: bool = False
 
 
 @dataclass

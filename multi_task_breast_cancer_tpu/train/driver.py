@@ -230,6 +230,15 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
 
         best_validation_loss = 1_000_000.0
         patience = 0
+        # Best-state snapshots stay ON DEVICE (jnp.copy = device-to-device);
+        # the checkpoint file is written once per fold. On tunnel runtimes a
+        # per-epoch host fetch of the full train state costs ~10s/epoch —
+        # two orders of magnitude more than the epoch itself.
+        # ``training.checkpoint_every_epoch=True`` restores the reference's
+        # write-per-improvement cadence (crash-resumable, see PARITY D9).
+        eager_ckpt = cfg.training.checkpoint_every_epoch
+        best_state, best_epoch = None, 0
+        epoch = -1  # stays -1 when epochs == 0
         for epoch in range(cfg.training.epochs):
             current_lr = get_learning_rate(state.opt_state)
             t0 = time.perf_counter()
@@ -258,12 +267,18 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
             set_learning_rate(state.opt_state, scheduler.lr)
 
             if mode == "CV_PROD":
-                # prod saves every epoch unconditionally (training_*_prod.py)
-                save_checkpoint(ckpt_path, state, epoch, best_validation_loss)
+                # prod saves every epoch unconditionally (training_*_prod.py);
+                # the end-of-fold write below produces the identical final file
+                if eager_ckpt:
+                    save_checkpoint(ckpt_path, state, epoch, best_validation_loss)
             elif vm["loss"] < best_validation_loss:
                 patience = 0
                 best_validation_loss = vm["loss"]
-                save_checkpoint(ckpt_path, state, epoch, best_validation_loss)
+                if eager_ckpt:
+                    save_checkpoint(ckpt_path, state, epoch, best_validation_loss)
+                else:
+                    best_state = jax.tree_util.tree_map(jnp.copy, state)
+                best_epoch = epoch
             else:
                 patience += 1
 
@@ -332,6 +347,15 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
                 logging.info("\nValidation loss did not improve over the last %d "
                              "epochs. Stopping training", patience)
                 break
+
+        # deferred checkpoint write: one host fetch per fold (see above)
+        if not eager_ckpt:
+            if mode == "CV_PROD":
+                save_checkpoint(ckpt_path, state, epoch, best_validation_loss)
+            elif best_state is not None:
+                save_checkpoint(ckpt_path, best_state, best_epoch,
+                                best_validation_loss)
+                del best_state
 
         # evolution plots (CV mode; prod scripts have them commented out)
         if mode == "CV":

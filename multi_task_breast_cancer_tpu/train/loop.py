@@ -427,7 +427,13 @@ class Engine:
         uint8 storage quarters (vs f32) or halves (vs bf16) the bytes the
         per-step gather moves through HBM; the in-step cast back is free
         (fused into the gather's consumer). Values are exactly representable
-        either way, so the training trajectory is bit-identical."""
+        either way, so the training trajectory is bit-identical.
+
+        ``MTBC_UINT8_STORAGE=0`` disables (A/B lever: 8-bit gathers can lower
+        poorly on some TPU toolchains)."""
+        import os
+        if os.environ.get("MTBC_UINT8_STORAGE", "1") == "0":
+            return fallback
         if (np.issubdtype(a.dtype, np.integer) or np.all(a == np.rint(a))) \
                 and a.size and 0 <= a.min() and a.max() <= 255:
             return jnp.uint8

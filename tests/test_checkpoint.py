@@ -82,3 +82,33 @@ def test_missing_checkpoint_raises(tmp_path):
     import pytest
     with pytest.raises(ValueError, match="No checkpoint found"):
         load_pretrained_model(state, str(tmp_path / "nope"))
+
+
+def test_deferred_checkpoint_matches_eager_cadence(tmp_path):
+    """Driver-level: the once-per-fold deferred checkpoint write (default)
+    produces a byte-identical file to the reference's write-per-improvement
+    cadence (training.checkpoint_every_epoch=True)."""
+    from multi_task_breast_cancer_tpu.config import Config, DataConfig, \
+        ModelConfig, OptimizerConfig, TrainingConfig
+    from multi_task_breast_cancer_tpu.data import synthetic
+    from multi_task_breast_cancer_tpu.train.driver import run_experiment
+    from pathlib import Path
+
+    root = synthetic.make_preprocessed_busi(tmp_path / "busi", n_per_class=8,
+                                            size=32)
+    ckpts = {}
+    for eager in (False, True):
+        cfg = Config(
+            model=ModelConfig(architecture="BTSUNet", width=4,
+                              deep_supervision=False),
+            optimizer=OptimizerConfig(opt="Adam", lr=1e-3, scheduler="plateau"),
+            training=TrainingConfig(seed=1993, epochs=2, CV=2,
+                                    checkpoint_every_epoch=eager,
+                                    data_parallel=False),
+            data=DataConfig(input_img=str(root), batch_size=4,
+                            oversampling=False),
+        )
+        run = Path(run_experiment(cfg, task="segmentation", mode="CV",
+                                  run_root=str(tmp_path / f"runs_{eager}")))
+        ckpts[eager] = next((run / "fold_0").glob("model_*.tar")).read_bytes()
+    assert ckpts[False] == ckpts[True]

@@ -20,9 +20,10 @@ def busi_root(tmp_path_factory):
                                             n_per_class=8, size=64)
 
 
-def _cfg(busi_root, arch, width=6, ds=True, epochs=2):
+def _cfg(busi_root, arch, width=6, ds=True, epochs=2, nnunet_widths=None):
     return Config(
-        model=ModelConfig(architecture=arch, width=width, deep_supervision=ds),
+        model=ModelConfig(architecture=arch, width=width, deep_supervision=ds,
+                          nnunet_widths=nnunet_widths),
         optimizer=OptimizerConfig(opt="Adam", lr=1e-3, scheduler="plateau"),
         loss=LossConfig(function="DICE", inversely_weighted=True,
                         classification_criterion="Focal"),
@@ -55,7 +56,10 @@ def test_segmentation_cv(busi_root, tmp_path):
 
 
 def test_multitask_cv_with_pr(busi_root, tmp_path):
-    cfg = _cfg(busi_root, "MTUNetPlusPlus", ds=True)
+    # Multi_BTSUNet: cheapest multitask DS compile — the PR/artifact contract
+    # under test is arch-independent; the MTUNetPlusPlus variant runs in the
+    # slow set (test_multitask_cv_unetpp)
+    cfg = _cfg(busi_root, "Multi_BTSUNet", ds=True)
     run_path = run_experiment(cfg, task="multitask", mode="CV",
                               run_root=str(tmp_path / "runs"))
     run = Path(run_path)
@@ -81,8 +85,22 @@ def test_classification_cv(busi_root, tmp_path):
         assert (run / f"fold_{n}" / "results_classification.csv").exists()
 
 
+@pytest.mark.slow
+def test_multitask_cv_unetpp(busi_root, tmp_path):
+    """MTUNetPlusPlus (the heaviest multitask compile) through the full CV
+    driver — slow-set twin of test_multitask_cv_with_pr."""
+    cfg = _cfg(busi_root, "MTUNetPlusPlus", ds=True)
+    run_path = run_experiment(cfg, task="multitask", mode="CV",
+                              run_root=str(tmp_path / "runs"))
+    run = Path(run_path)
+    for n in (0, 1):
+        cls = pd.read_csv(run / f"fold_{n}" / "results_classification.csv")
+        assert {"prob_benign", "prob_malignant", "prob_normal"} <= set(cls.columns)
+    assert zipfile.is_zipfile(run / "results_segmentation.xlsx")
+
+
 def test_multitask_prod(busi_root, tmp_path):
-    cfg = _cfg(busi_root, "MTnnUNet", ds=True)
+    cfg = _cfg(busi_root, "MTnnUNet", ds=True, nnunet_widths=[4, 8, 12, 16, 20])
     run_path = run_experiment(cfg, task="multitask", mode="CV_PROD",
                               run_root=str(tmp_path / "runs"))
     run = Path(run_path)

@@ -76,9 +76,27 @@ def main() -> None:
     host_rng = np.random.default_rng(1)
     steps_per_epoch = n // batch
 
-    # warmup (compile)
+    # warmup (compile), then RAMP: an idle tunnel TPU starts at a low power
+    # state and takes seconds of sustained load to reach full clocks —
+    # measured 3.5x throughput difference between cold and warm device.
+    # Keep running 2-epoch windows until the rate stabilizes within 5%.
     perm = plan_epoch_indices(n, batch, host_rng)
     state, _ = engine.train_epoch(state, data, perm, jax.random.PRNGKey(1))
+    prev_rate, ramp_windows = 0.0, 0
+    for w in range(15):
+        t0 = time.perf_counter()
+        for e in range(2):
+            perm = plan_epoch_indices(n, batch, host_rng)
+            state, metrics = engine._train_epoch(
+                state, data["images"], data["masks"], data["cls_targets"],
+                data["labels_int"], jnp.asarray(perm),
+                jax.random.PRNGKey(50 + 2 * w + e))
+        _ = float(metrics["loss"])
+        rate = 2 * n / (time.perf_counter() - t0)
+        ramp_windows = w + 1
+        if prev_rate and abs(rate - prev_rate) / rate < 0.05:
+            break
+        prev_rate = rate
 
     # timed epochs: dispatch back-to-back through the jitted epoch fn and
     # fetch metrics once at the end (steady-state throughput; the per-epoch
@@ -145,6 +163,7 @@ def main() -> None:
                              / ASSUMED_A100_PYTORCH_BASELINE_IMGS_PER_SEC, 3),
         "roofline": roofline,
         "baseline": baseline,
+        "ramp_windows": ramp_windows,
     }))
 
 

@@ -240,6 +240,10 @@ class Engine:
             msks = jnp.take(masks, batch_idx, axis=0)
             ctgt = jnp.take(cls_targets, batch_idx, axis=0)
             lint = jnp.take(labels_int, batch_idx, axis=0)
+            # cast BEFORE the augmentation gather: fewer bytes would move if
+            # the per-pixel gather ran on uint8, but 8-bit take_along_axis
+            # lowers poorly on TPU (measured 20% slower end-to-end) — only
+            # the contiguous row gather above benefits from uint8 storage
             imgs, msks = self._to_compute(imgs, msks)
             imgs, msks, ctgt = self._shard_batch(imgs, msks, ctgt)
 

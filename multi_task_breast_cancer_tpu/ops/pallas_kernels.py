@@ -32,17 +32,19 @@ Array = jnp.ndarray
 
 
 def _fwd_kernel(x_ref, o_ref, *, eps: float, slope: float):
-    x = x_ref[0]  # (HW, C)
+    # stats + comparison in f32: matches the XLA InstanceNorm's f32-stats
+    # numerics under bf16 inputs, and Mosaic rejects bf16 cmpf on this target
+    x = x_ref[0].astype(jnp.float32)  # (HW, C)
     mean = jnp.mean(x, axis=0, keepdims=True)
     centered = x - mean
     var = jnp.mean(centered * centered, axis=0, keepdims=True)
     xhat = centered * jax.lax.rsqrt(var + eps)
-    o_ref[0] = jnp.where(xhat >= 0, xhat, slope * xhat)
+    o_ref[0] = jnp.where(xhat >= 0, xhat, slope * xhat).astype(o_ref.dtype)
 
 
 def _bwd_kernel(x_ref, g_ref, dx_ref, *, eps: float, slope: float):
-    x = x_ref[0]
-    g = g_ref[0]
+    x = x_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
     mean = jnp.mean(x, axis=0, keepdims=True)
     centered = x - mean
     var = jnp.mean(centered * centered, axis=0, keepdims=True)
@@ -52,7 +54,7 @@ def _bwd_kernel(x_ref, g_ref, dx_ref, *, eps: float, slope: float):
     dxhat = jnp.where(xhat >= 0, g, slope * g)
     m1 = jnp.mean(dxhat, axis=0, keepdims=True)
     m2 = jnp.mean(dxhat * xhat, axis=0, keepdims=True)
-    dx_ref[0] = rstd * (dxhat - m1 - xhat * m2)
+    dx_ref[0] = (rstd * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
 
 
 def _padded_block_bytes(hw: int, c: int, itemsize: int = 4) -> int:

@@ -32,7 +32,7 @@ import optax
 from flax import linen as nn
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from multi_task_breast_cancer_tpu.data.augment import joint_transform_single
+from multi_task_breast_cancer_tpu.data.augment import joint_transform_stack_batch
 from multi_task_breast_cancer_tpu.data.dataset import ArrayDataset
 from multi_task_breast_cancer_tpu.ops import losses as L
 from multi_task_breast_cancer_tpu.ops import metrics as M
@@ -252,9 +252,9 @@ class Engine:
                 n_mask = msks.shape[-1]
                 stack = jnp.concatenate([msks, imgs], axis=-1)
                 skeys = jax.random.split(k_aug, stack.shape[0])
-                fn = functools.partial(joint_transform_single, p_hflip=cfg.p_hflip,
-                                       p_vflip=cfg.p_vflip, max_angle=cfg.max_angle)
-                stack = jax.vmap(fn)(stack, skeys)
+                stack = joint_transform_stack_batch(
+                    stack, skeys, p_hflip=cfg.p_hflip, p_vflip=cfg.p_vflip,
+                    max_angle=cfg.max_angle)
                 msks, imgs = stack[..., :n_mask], stack[..., n_mask:]
 
             def loss_fn(params):

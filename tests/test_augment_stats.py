@@ -52,3 +52,18 @@ def test_mask_values_stay_binary():
     stack = jnp.asarray((rng.random((32, 32, 2)) > 0.5).astype(np.float32))
     out = np.asarray(joint_transform_single(stack, jax.random.PRNGKey(3)))
     assert set(np.unique(out)) <= {0.0, 1.0}
+
+
+def test_batched_transform_matches_vmapped_single():
+    """joint_transform_stack_batch (one global gather) must equal
+    vmap(joint_transform_single) bit-for-bit."""
+    import functools
+    from multi_task_breast_cancer_tpu.data.augment import (
+        joint_transform_stack_batch,
+    )
+    rng = np.random.default_rng(5)
+    stack = jnp.asarray(rng.random((16, 32, 32, 2)), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(9), 16)
+    single = jax.vmap(functools.partial(joint_transform_single))(stack, keys)
+    batched = joint_transform_stack_batch(stack, keys)
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(batched))

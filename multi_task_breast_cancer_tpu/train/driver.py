@@ -133,6 +133,140 @@ def _cls_f1(metrics: dict, task: str, n_classes: int) -> float:
     return metrics["f1_micro"] if n_classes > 2 else metrics["f1_binary"]
 
 
+def _log_epoch(task: str, mode: str, n_classes: int, epoch: int,
+               current_lr: float, tm: dict, vm: Optional[dict],
+               test_dice: Optional[float], patience: int, dt: float,
+               best_validation_loss: float) -> str:
+    """Emit the reference-format per-epoch log line and return the
+    metrics.csv row."""
+    if task == "segmentation":
+        if mode == "CV":
+            logging.info(
+                "EPOCH %d --> || Training loss %.4f || Validation loss %.4f "
+                "|| Training DICE %.4f || Validation DICE  %.4f || Patience: %d "
+                "|| Epoch time: %.4f || LR: %.8f", epoch, tm["loss"], vm["loss"],
+                tm["dice"], vm["dice"], patience, dt, current_lr)
+            return (f"{epoch},{current_lr:.8f},{tm['dice']:.4f}, {vm['dice']:.4f},"
+                    f"{test_dice:.4f},{tm['loss']:.4f},{vm['loss']:.4f}")
+        logging.info(
+            "EPOCH %d --> || Training loss %.4f || Training DICE %.4f "
+            "|| Patience: %d || Epoch time: %.4f || LR: %.8f",
+            epoch, tm["loss"], tm["dice"], patience, dt, current_lr)
+        return (f"{epoch},{current_lr:.8f},{tm['dice']:.4f},{test_dice:.4f},"
+                f"{tm['loss']:.4f}")
+    if task == "classification":
+        tf1 = _cls_f1(tm, task, n_classes)
+        if mode == "CV":
+            vf1 = _cls_f1(vm, task, n_classes)
+            logging.info(
+                "EPOCH %d --> || Training loss %.4f || Validation loss %.4f "
+                "|| Training ACC %.4f || Training F1 %.4f || Validation ACC %.4f "
+                "|| Validation F1 %.4f || Patience: %d || Epoch time: %.4f",
+                epoch, tm["loss"], vm["loss"], tm["acc"], tf1, vm["acc"], vf1,
+                patience, dt)
+            return (f"{epoch},{current_lr:.8f},{tm['loss']:.4f},{vm['loss']:.4f},"
+                    f"{tm['acc']:.4f},{tf1:.4f},{vm['acc']:.4f},{vf1:.4f}")
+        logging.info(
+            "EPOCH %d --> || Training loss %.4f || Training ACC %.4f "
+            "|| Training F1 %.4f || Patience: %d || Epoch time: %.4f",
+            epoch, tm["loss"], tm["acc"], tf1, patience, dt)
+        return f"{epoch},{current_lr:.8f},{tm['loss']:.4f},{tm['acc']:.4f},{tf1:.4f}"
+    # multitask
+    if mode == "CV":
+        logging.info(
+            "EPOCH %d --> || Training loss %.4f || Validation loss %.4f "
+            "|| Segmentation val loss %.4f || Classification val loss %.4f "
+            "|| Training DICE %.4f || Validation DICE  %.4f || Training ACC %.4f "
+            "|| Training F1 %.4f || Validation ACC %.4f || Validation F1 %.4f "
+            "|| Patience: %d || Epoch time: %.4f || Best validation performance: %.4f",
+            epoch, tm["loss"], vm["loss"], vm["seg_loss"], vm["cls_loss"],
+            tm["dice"], vm["dice"], tm["acc"], tm["f1"], vm["acc"], vm["f1"],
+            patience, dt, best_validation_loss)
+        return (f"{epoch},{current_lr:.8f},{tm['loss']:.4f},{vm['loss']:.4f},"
+                f"{tm['dice']:.4f}, {vm['dice']:.4f},{tm['acc']:.4f},"
+                f"{tm['f1']:.4f},{vm['acc']:.4f},{vm['f1']:.4f}")
+    logging.info(
+        "EPOCH %d --> || Training loss %.4f || Training DICE %.4f "
+        "|| Training ACC %.4f || Training F1 %.4f || Patience: %d "
+        "|| Epoch time: %.4f", epoch, tm["loss"], tm["dice"],
+        tm["acc"], tm["f1"], patience, dt)
+    return (f"{epoch},{current_lr:.8f},{tm['loss']:.4f},"
+            f"{tm['dice']:.4f}, {tm['acc']:.4f},{tm['f1']:.4f}")
+
+
+def _fold_plots(task: str, mode: str, metrics_path: str, run_path: str,
+                n: int) -> None:
+    """Evolution plots (CV mode; prod scripts have them commented out)."""
+    if mode != "CV":
+        return
+    metrics_df = pd.read_csv(metrics_path)
+    if task == "segmentation":
+        plot_evolution(metrics_df, ["Train", "Validation", "Test"],
+                       f"{run_path}/fold_{n}/plots/metrics_evolution.png",
+                       title="DICE coefficient", ylabel="DICE")
+        plot_evolution(metrics_df, ["Train_loss", "Val_loss"],
+                       f"{run_path}/fold_{n}/plots/loss_evolution.png",
+                       title="DICE loss function", ylabel="Loss DICE")
+    elif task == "classification":
+        plot_evolution(metrics_df, ["Train_loss", "Validation_loss"],
+                       f"{run_path}/fold_{n}/loss_evolution.png")
+        plot_evolution(metrics_df, ["Train_acc", "Train_F1", "Validation_acc",
+                                    "Validation_F1"],
+                       f"{run_path}/fold_{n}/classification_metrics_evolution.png")
+    else:
+        plot_evolution(metrics_df, ["Train_loss", "Validation_loss"],
+                       f"{run_path}/fold_{n}/loss_evolution.png")
+        plot_evolution(metrics_df, ["Train_dice", "Validation_dice"],
+                       f"{run_path}/fold_{n}/segmentation_metrics_evolution.png")
+        plot_evolution(metrics_df, ["Train_acc", "Train_F1", "Validation_acc",
+                                    "Validation_F1"],
+                       f"{run_path}/fold_{n}/classification_metrics_evolution.png")
+
+
+def _fold_inference(task: str, mode: str, n_classes: int, cfg: Config, engine,
+                    state, fold, fold_dir: str, ckpt_path: str) -> None:
+    """Testing phase on the best checkpoint."""
+    logging.info("\n\n ###############  TESTING PHASE  ###############  \n\n")
+    if task != "segmentation":
+        # The segmentation drivers never reload the best checkpoint — the
+        # reload is commented out (training_segmentation.py:218, absent in
+        # the prod variant), so their test phase scores LAST-epoch weights.
+        # Classification/multitask drivers do reload (training_multitask.py:294).
+        state = load_pretrained_model(state, ckpt_path)
+
+    if task == "segmentation":
+        test_results = I.inference_binary_segmentation(engine, state, fold.test, fold_dir)
+        logging.info("%s", test_results.mean(numeric_only=True))
+    elif task == "classification":
+        if n_classes <= 2:
+            cls_results = I.inference_binary_classification(engine, state, fold.test, fold_dir)
+            logging.info("\nClassification metrics:\n\n%s", pformat(
+                binary_classification_metrics(cls_results.ground_truth,
+                                              cls_results.predicted_label)))
+        else:
+            cls_results = I.inference_multiclass_classification(engine, state, fold.test, fold_dir)
+            logging.info("\nClassification metrics:\n\n%s", pformat(
+                multiclass_classification_metrics(cls_results.ground_truth,
+                                                  cls_results.predicted_label)))
+    else:
+        if n_classes <= 2:
+            seg_res, cls_res = I.inference_multitask_binary(engine, state, fold.test, fold_dir)
+            logging.info("Segmentation metric:\n\n%s\n", seg_res.mean(numeric_only=True))
+            logging.info("\nClassification metrics:\n\n%s", pformat(
+                binary_classification_metrics(cls_res.ground_truth,
+                                              cls_res.predicted_label)))
+        else:
+            seg_res, cls_res = I.inference_multitask_multiclass(
+                engine, state, fold.test, fold_dir,
+                threshold=cfg.training.threshold_postprocessing,
+                overlap_seg_based_on_class=cfg.training.overlap_seg_based_on_class,
+                overlap_class_based_on_seg=cfg.training.overlap_class_based_on_seg)
+            logging.info("Segmentation metric:\n\n%s\n", seg_res.mean(numeric_only=True))
+            logging.info("\nClassification metrics:\n\n%s", pformat(
+                multiclass_classification_metrics(cls_res.ground_truth,
+                                                  cls_res.predicted_label)))
+
+
 def run_experiment(cfg: Config, task: str, mode: str = "CV",
                    config_src: Optional[str] = None, run_root: str = "runs",
                    uclm_path: Optional[str] = None) -> str:
@@ -286,61 +420,10 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
             if task == "segmentation":
                 test_dice = quick_test_dice(engine, state, fold.test,
                                             pad_to=max_test_n)
-                if mode == "CV":
-                    logging.info(
-                        "EPOCH %d --> || Training loss %.4f || Validation loss %.4f "
-                        "|| Training DICE %.4f || Validation DICE  %.4f || Patience: %d "
-                        "|| Epoch time: %.4f || LR: %.8f", epoch, tm["loss"], vm["loss"],
-                        tm["dice"], vm["dice"], patience, dt, current_lr)
-                    line = (f"{epoch},{current_lr:.8f},{tm['dice']:.4f}, {vm['dice']:.4f},"
-                            f"{test_dice:.4f},{tm['loss']:.4f},{vm['loss']:.4f}")
-                else:
-                    logging.info(
-                        "EPOCH %d --> || Training loss %.4f || Training DICE %.4f "
-                        "|| Patience: %d || Epoch time: %.4f || LR: %.8f",
-                        epoch, tm["loss"], tm["dice"], patience, dt, current_lr)
-                    line = (f"{epoch},{current_lr:.8f},{tm['dice']:.4f},{test_dice:.4f},"
-                            f"{tm['loss']:.4f}")
-            elif task == "classification":
-                tf1 = _cls_f1(tm, task, n_classes)
-                if mode == "CV":
-                    vf1 = _cls_f1(vm, task, n_classes)
-                    logging.info(
-                        "EPOCH %d --> || Training loss %.4f || Validation loss %.4f "
-                        "|| Training ACC %.4f || Training F1 %.4f || Validation ACC %.4f "
-                        "|| Validation F1 %.4f || Patience: %d || Epoch time: %.4f",
-                        epoch, tm["loss"], vm["loss"], tm["acc"], tf1, vm["acc"], vf1,
-                        patience, dt)
-                    line = (f"{epoch},{current_lr:.8f},{tm['loss']:.4f},{vm['loss']:.4f},"
-                            f"{tm['acc']:.4f},{tf1:.4f},{vm['acc']:.4f},{vf1:.4f}")
-                else:
-                    logging.info(
-                        "EPOCH %d --> || Training loss %.4f || Training ACC %.4f "
-                        "|| Training F1 %.4f || Patience: %d || Epoch time: %.4f",
-                        epoch, tm["loss"], tm["acc"], tf1, patience, dt)
-                    line = f"{epoch},{current_lr:.8f},{tm['loss']:.4f},{tm['acc']:.4f},{tf1:.4f}"
-            else:  # multitask
-                if mode == "CV":
-                    logging.info(
-                        "EPOCH %d --> || Training loss %.4f || Validation loss %.4f "
-                        "|| Segmentation val loss %.4f || Classification val loss %.4f "
-                        "|| Training DICE %.4f || Validation DICE  %.4f || Training ACC %.4f "
-                        "|| Training F1 %.4f || Validation ACC %.4f || Validation F1 %.4f "
-                        "|| Patience: %d || Epoch time: %.4f || Best validation performance: %.4f",
-                        epoch, tm["loss"], vm["loss"], vm["seg_loss"], vm["cls_loss"],
-                        tm["dice"], vm["dice"], tm["acc"], tm["f1"], vm["acc"], vm["f1"],
-                        patience, dt, best_validation_loss)
-                    line = (f"{epoch},{current_lr:.8f},{tm['loss']:.4f},{vm['loss']:.4f},"
-                            f"{tm['dice']:.4f}, {vm['dice']:.4f},{tm['acc']:.4f},"
-                            f"{tm['f1']:.4f},{vm['acc']:.4f},{vm['f1']:.4f}")
-                else:
-                    logging.info(
-                        "EPOCH %d --> || Training loss %.4f || Training DICE %.4f "
-                        "|| Training ACC %.4f || Training F1 %.4f || Patience: %d "
-                        "|| Epoch time: %.4f", epoch, tm["loss"], tm["dice"],
-                        tm["acc"], tm["f1"], patience, dt)
-                    line = (f"{epoch},{current_lr:.8f},{tm['loss']:.4f},"
-                            f"{tm['dice']:.4f}, {tm['acc']:.4f},{tm['f1']:.4f}")
+            else:
+                test_dice = None
+            line = _log_epoch(task, mode, n_classes, epoch, current_lr, tm, vm,
+                              test_dice, patience, dt, best_validation_loss)
             write_metrics_file(metrics_path, line)
 
             if patience > cfg.training.max_patience:
@@ -357,74 +440,9 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
                                 best_validation_loss)
                 del best_state
 
-        # evolution plots (CV mode; prod scripts have them commented out)
-        if mode == "CV":
-            metrics_df = pd.read_csv(metrics_path)
-            if task == "segmentation":
-                plot_evolution(metrics_df, ["Train", "Validation", "Test"],
-                               f"{run_path}/fold_{n}/plots/metrics_evolution.png",
-                               title="DICE coefficient", ylabel="DICE")
-                plot_evolution(metrics_df, ["Train_loss", "Val_loss"],
-                               f"{run_path}/fold_{n}/plots/loss_evolution.png",
-                               title="DICE loss function", ylabel="Loss DICE")
-            elif task == "classification":
-                plot_evolution(metrics_df, ["Train_loss", "Validation_loss"],
-                               f"{run_path}/fold_{n}/loss_evolution.png")
-                plot_evolution(metrics_df, ["Train_acc", "Train_F1", "Validation_acc",
-                                            "Validation_F1"],
-                               f"{run_path}/fold_{n}/classification_metrics_evolution.png")
-            else:
-                plot_evolution(metrics_df, ["Train_loss", "Validation_loss"],
-                               f"{run_path}/fold_{n}/loss_evolution.png")
-                plot_evolution(metrics_df, ["Train_dice", "Validation_dice"],
-                               f"{run_path}/fold_{n}/segmentation_metrics_evolution.png")
-                plot_evolution(metrics_df, ["Train_acc", "Train_F1", "Validation_acc",
-                                            "Validation_F1"],
-                               f"{run_path}/fold_{n}/classification_metrics_evolution.png")
-
-        # ------------------------------------------------------------------
-        # inference phase on the best checkpoint
-        # ------------------------------------------------------------------
-        logging.info("\n\n ###############  TESTING PHASE  ###############  \n\n")
-        if task != "segmentation":
-            # The segmentation drivers never reload the best checkpoint — the
-            # reload is commented out (training_segmentation.py:218, absent in
-            # the prod variant), so their test phase scores LAST-epoch weights.
-            # Classification/multitask drivers do reload (training_multitask.py:294).
-            state = load_pretrained_model(state, ckpt_path)
-        fold_dir = f"{run_path}/fold_{n}"
-
-        if task == "segmentation":
-            test_results = I.inference_binary_segmentation(engine, state, fold.test, fold_dir)
-            logging.info("%s", test_results.mean(numeric_only=True))
-        elif task == "classification":
-            if n_classes <= 2:
-                cls_results = I.inference_binary_classification(engine, state, fold.test, fold_dir)
-                logging.info("\nClassification metrics:\n\n%s", pformat(
-                    binary_classification_metrics(cls_results.ground_truth,
-                                                  cls_results.predicted_label)))
-            else:
-                cls_results = I.inference_multiclass_classification(engine, state, fold.test, fold_dir)
-                logging.info("\nClassification metrics:\n\n%s", pformat(
-                    multiclass_classification_metrics(cls_results.ground_truth,
-                                                      cls_results.predicted_label)))
-        else:
-            if n_classes <= 2:
-                seg_res, cls_res = I.inference_multitask_binary(engine, state, fold.test, fold_dir)
-                logging.info("Segmentation metric:\n\n%s\n", seg_res.mean(numeric_only=True))
-                logging.info("\nClassification metrics:\n\n%s", pformat(
-                    binary_classification_metrics(cls_res.ground_truth,
-                                                  cls_res.predicted_label)))
-            else:
-                seg_res, cls_res = I.inference_multitask_multiclass(
-                    engine, state, fold.test, fold_dir,
-                    threshold=cfg.training.threshold_postprocessing,
-                    overlap_seg_based_on_class=cfg.training.overlap_seg_based_on_class,
-                    overlap_class_based_on_seg=cfg.training.overlap_class_based_on_seg)
-                logging.info("Segmentation metric:\n\n%s\n", seg_res.mean(numeric_only=True))
-                logging.info("\nClassification metrics:\n\n%s", pformat(
-                    multiclass_classification_metrics(cls_res.ground_truth,
-                                                      cls_res.predicted_label)))
+        _fold_plots(task, mode, metrics_path, run_path, n)
+        _fold_inference(task, mode, n_classes, cfg, engine, state, fold,
+                        f"{run_path}/fold_{n}", ckpt_path)
 
         logging.info("Total time for fold %d: %.2f", n, time.perf_counter() - fold_time)
         del state

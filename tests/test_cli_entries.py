@@ -81,3 +81,20 @@ def test_evaluate_cli(tmp_path, busi_root):
         capture_output=True, text=True, timeout=900, env=ENV, cwd="/root/repo")
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert (out / "results_segmentation.csv").exists()
+
+
+def test_holdout_check_cli(busi_root):
+    """Split-inspection CLI: fold membership + class distributions printed
+    for CV and holdout modes."""
+    for extra in (["--folds", "2"], ["--mode", "holdout"]):
+        out = subprocess.run(
+            [sys.executable, "-m", "multi_task_breast_cancer_tpu.data.holdout_check",
+             "--mapping", str(busi_root / "mapping.csv"), "--seed", "1993"] + extra,
+            env=ENV, capture_output=True, text=True, timeout=300)
+        assert out.returncode == 0, out.stderr
+    cv_out = subprocess.run(
+        [sys.executable, "-m", "multi_task_breast_cancer_tpu.data.holdout_check",
+         "--mapping", str(busi_root / "mapping.csv"), "--folds", "2"],
+        env=ENV, capture_output=True, text=True, timeout=300).stdout
+    assert "--- fold 0 ---" in cv_out and "--- fold 1 ---" in cv_out
+    assert "test ids:" in cv_out

@@ -22,7 +22,6 @@ reference drivers (CV and CV_PROD modes share these epoch functions).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

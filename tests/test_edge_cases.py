@@ -62,3 +62,22 @@ def test_plan_epoch_indices_small_dataset():
     perm = plan_epoch_indices(10, 4, rng)  # 3 steps, 2 padded
     assert len(perm) == 12
     assert sorted(set(perm)) == list(range(10))
+
+
+def test_config_nnunet_widths_roundtrip(tmp_path):
+    """The TPU-native nnunet_widths override parses from YAML and reaches the
+    model factory; absent key keeps reference parity (None)."""
+    from multi_task_breast_cancer_tpu.config import load_config
+    from multi_task_breast_cancer_tpu.models import init_multitask_model
+
+    cfg_file = tmp_path / "c.yaml"
+    cfg_file.write_text(
+        "model: {architecture: MTnnUNet, nnunet_widths: [4, 8, 12, 16, 20]}\n")
+    cfg = load_config(cfg_file)
+    assert cfg.model.nnunet_widths == [4, 8, 12, 16, 20]
+    model = init_multitask_model("MTnnUNet", nnunet_widths=cfg.model.nnunet_widths)
+    assert model.widths == (4, 8, 12, 16, 20)
+
+    cfg_file.write_text("model: {architecture: MTnnUNet}\n")
+    assert load_config(cfg_file).model.nnunet_widths is None
+    assert init_multitask_model("MTnnUNet").widths == (32, 64, 128, 256, 320)

@@ -35,7 +35,9 @@ from multi_task_breast_cancer_tpu.train.driver import run_experiment
 
 EPOCHS = 50
 CV = 4
-N_PER_CLASS = 60
+# real Curated-BUSI class imbalance (437/210/133) scaled by 1/3 — drives the
+# deterministic-oversampling factors (2/4/6) at realistic ratios
+CLASS_COUNTS = {"benign": 146, "malignant": 70, "normal": 44}
 BATCH = 8
 
 
@@ -87,8 +89,9 @@ def mean_curve(result: dict, key: str) -> np.ndarray:
 
 def main() -> None:
     tmp = Path(tempfile.mkdtemp(prefix="mtbc_quality_"))
-    root = synthetic.make_preprocessed_busi(tmp / "busi", n_per_class=N_PER_CLASS,
-                                            size=128, learnable=True)
+    root = synthetic.make_preprocessed_busi(tmp / "busi", size=128,
+                                            learnable=True,
+                                            class_counts=CLASS_COUNTS)
     results = {}
     for dtype in ("float32", "bfloat16"):
         print(f"=== {dtype} ===", flush=True)
@@ -114,7 +117,7 @@ def main() -> None:
 
     out = {
         "config": {"model": "MTnnUNet", "epochs": EPOCHS, "cv": CV,
-                   "n_images": 3 * N_PER_CLASS, "image_size": 128,
+                   "class_counts": CLASS_COUNTS, "image_size": 128,
                    "batch_size": BATCH, "optimizer": "Adam lr=1e-4",
                    "data": "synthetic learnable BUSI-like (dark/bright/none lesion)"},
         "platform": __import__("jax").devices()[0].platform,

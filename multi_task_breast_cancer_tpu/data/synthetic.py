@@ -66,13 +66,18 @@ def make_raw_busi(root: str | Path, n_per_class: int = 6, size: int = 64,
 
 
 def make_preprocessed_busi(root: str | Path, n_per_class: int = 8, size: int = 128,
-                           seed: int = 0, learnable: bool = False) -> Path:
+                           seed: int = 0, learnable: bool = False,
+                           class_counts: Dict[str, int] | None = None) -> Path:
     """Create a preprocessed tree directly (images/, masks/, mapping.csv) —
     the layout ``config.data.input_img`` points at.
 
     ``learnable=True`` makes class a deterministic function of the image
     (benign = dark lesion, malignant = bright lesion, normal = none) so
-    convergence tests can assert the model actually learns both tasks."""
+    convergence tests can assert the model actually learns both tasks.
+
+    ``class_counts`` overrides ``n_per_class`` per class — e.g. the real
+    Curated-BUSI imbalance is roughly {benign: 437, malignant: 210,
+    normal: 133}, which drives the deterministic-oversampling factors."""
     import cv2
     rng = np.random.default_rng(seed)
     root = Path(root)
@@ -80,7 +85,8 @@ def make_preprocessed_busi(root: str | Path, n_per_class: int = 8, size: int = 1
     (root / "masks").mkdir(parents=True, exist_ok=True)
     rows = []
     for cls in CLASSES:
-        for i in range(1, n_per_class + 1):
+        n_cls = (class_counts or {}).get(cls, n_per_class)
+        for i in range(1, n_cls + 1):
             img, mask = _blob_image(rng, size, with_tumor=(cls != "normal"),
                                     bright_tumor=(learnable and cls == "malignant"),
                                     learnable_style=learnable)

@@ -59,3 +59,35 @@ def test_flagship_learns_under_full_driver(tmp_path):
     tail = pd.read_csv(Path(run_path) / "fold_0" / "metrics.csv").tail(10)
     assert float(tail["Train_dice"].max()) > 0.8
     assert float(tail["Train_acc"].max()) > 0.9
+
+
+@pytest.mark.slow
+def test_segmentation_driver_learns(tmp_path):
+    """Single-task segmentation path (startup-sampled max-angle quirk,
+    per-epoch test DICE column, last-epoch test weights): BTSUNet must fit
+    the learnable set to test-phase DICE > 0.85 under the full driver.
+
+    Tumor classes only: per-image DICE scores 0 on any false positive over an
+    empty ground truth (reference convention, ``metrics.py:255-267``), and
+    the seg-only task has no PR class rule to clear normal-class FPs — with
+    normals present the mean test DSC is structurally capped near 2/3 (the
+    same effect caps the reference's published ST numbers vs MT+PR)."""
+    root = synthetic.make_preprocessed_busi(tmp_path / "busi", n_per_class=16,
+                                            size=64, learnable=True)
+    cfg = Config(
+        model=ModelConfig(architecture="BTSUNet", width=8,
+                          deep_supervision=False),
+        optimizer=OptimizerConfig(opt="Adam", lr=3e-3, scheduler="plateau"),
+        loss=LossConfig(function="DICE", inversely_weighted=True),
+        training=TrainingConfig(seed=1993, epochs=40, CV=2, max_patience=200,
+                                data_parallel=False),
+        data=DataConfig(input_img=str(root), batch_size=8, oversampling=True,
+                        classes=["benign", "malignant"]),
+    )
+    run_path = run_experiment(cfg, task="segmentation", mode="CV",
+                              run_root=str(tmp_path / "runs"))
+    seg = pd.read_csv(Path(run_path) / "fold_0" / "results_segmentation.csv")
+    test_dsc = float(seg["DICE"].mean())
+    assert test_dsc > 0.85, f"segmentation driver failed to fit: {test_dsc}"
+    m = pd.read_csv(Path(run_path) / "fold_0" / "metrics.csv")
+    assert float(m["Train"].tail(5).max()) > 0.8  # per-epoch train batch dice

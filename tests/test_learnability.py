@@ -91,3 +91,28 @@ def test_segmentation_driver_learns(tmp_path):
     assert test_dsc > 0.85, f"segmentation driver failed to fit: {test_dsc}"
     m = pd.read_csv(Path(run_path) / "fold_0" / "metrics.csv")
     assert float(m["Train"].tail(5).max()) > 0.8  # per-epoch train batch dice
+
+
+@pytest.mark.slow
+def test_classification_driver_learns_with_softmax_quirk(tmp_path):
+    """Classification driver with nnUNetClassifier — the arch whose forward
+    applies softmax BEFORE the CE/Focal criterion (reference quirk,
+    ``nnUNet_classifier.py:168-169``). The quirk changes the gradient field,
+    so prove the model still learns: test accuracy > 0.9."""
+    root = synthetic.make_preprocessed_busi(tmp_path / "busi", n_per_class=16,
+                                            size=64, learnable=True)
+    cfg = Config(
+        model=ModelConfig(architecture="nnUNetClassifier",
+                          nnunet_widths=[4, 8, 12, 16, 20]),
+        optimizer=OptimizerConfig(opt="Adam", lr=1e-3, scheduler="plateau"),
+        loss=LossConfig(function="DICE", inversely_weighted=True,
+                        classification_criterion="Focal"),
+        training=TrainingConfig(seed=1993, epochs=30, CV=2, max_patience=200,
+                                data_parallel=False),
+        data=DataConfig(input_img=str(root), batch_size=8, oversampling=True),
+    )
+    run_path = run_experiment(cfg, task="classification", mode="CV",
+                              run_root=str(tmp_path / "runs"))
+    cls = pd.read_csv(Path(run_path) / "fold_0" / "results_classification.csv")
+    test_acc = float((cls["ground_truth"] == cls["predicted_label"]).mean())
+    assert test_acc > 0.9, f"classifier failed to fit: {test_acc}"

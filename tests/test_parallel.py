@@ -73,3 +73,40 @@ def test_entry_hook_compiles():
     cls, seg = out
     assert cls[0].shape == (2, 3)
     assert len(seg) == 4
+
+
+def test_dp_batch_smaller_than_mesh():
+    """Reference-default batch sizes (2) are smaller than a pod's device
+    count; the P('data') constraint must still compile and run (XLA pads the
+    uneven shards internally)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from multi_task_breast_cancer_tpu.data.dataset import ArrayDataset
+    from multi_task_breast_cancer_tpu.models import init_multitask_model
+    from multi_task_breast_cancer_tpu.parallel.mesh import data_mesh
+    from multi_task_breast_cancer_tpu.train.loop import Engine, EngineConfig, \
+        plan_epoch_indices
+    from multi_task_breast_cancer_tpu.train.optim import init_optimizer
+    from multi_task_breast_cancer_tpu.train.state import create_train_state
+
+    for B in (2, 6):
+        n, H = 12, 32
+        rng = np.random.default_rng(0)
+        ds = ArrayDataset(
+            images=rng.integers(0, 256, (n, H, H, 1)).astype(np.float32),
+            masks=(rng.random((n, H, H, 1)) > 0.7).astype(np.float32),
+            labels=rng.integers(0, 3, n).astype(np.int32),
+            patient_ids=np.arange(n), class_names=["x"] * n,
+            tumor_pixels=np.zeros(n, np.int64))
+        model = init_multitask_model("Multi_BTSUNet", n_classes=3, width=4)
+        tx = init_optimizer("Adam", 1e-3)
+        engine = Engine(model, tx,
+                        EngineConfig(task="multitask", n_classes=3, batch_size=B),
+                        mesh=data_mesh())
+        state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                                   jnp.zeros((1, H, H, 1)))
+        data = engine.device_data(ds)
+        perm = plan_epoch_indices(n, B, np.random.default_rng(1))
+        state, m = engine.train_epoch(state, data, perm, jax.random.PRNGKey(2))
+        assert np.isfinite(m["loss"])

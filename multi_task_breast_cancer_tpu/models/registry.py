@@ -61,7 +61,14 @@ def save_model_summary(model: nn.Module, params, save_folder: Optional[Path]) ->
 
 def _nnunet_kw(nnunet_widths) -> dict:
     """nnU-Net family width override (None = reference constant)."""
-    return {} if nnunet_widths is None else {"widths": tuple(nnunet_widths)}
+    if nnunet_widths is None:
+        return {}
+    widths = tuple(nnunet_widths)
+    if len(widths) != 5:
+        raise ValueError(
+            f"model.nnunet_widths must list the 5 level widths "
+            f"(reference default (32, 64, 128, 256, 320)); got {widths!r}")
+    return {"widths": widths}
 
 
 def init_segmentation_model(architecture: str, sequences: int = 1, regions: int = 1,

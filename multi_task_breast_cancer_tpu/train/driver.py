@@ -223,7 +223,7 @@ def _fold_plots(task: str, mode: str, metrics_path: str, run_path: str,
                        f"{run_path}/fold_{n}/classification_metrics_evolution.png")
 
 
-def _fold_inference(task: str, mode: str, n_classes: int, cfg: Config, engine,
+def _fold_inference(task: str, n_classes: int, cfg: Config, engine,
                     state, fold, fold_dir: str, ckpt_path: str) -> None:
     """Testing phase on the best checkpoint."""
     logging.info("\n\n ###############  TESTING PHASE  ###############  \n\n")
@@ -434,14 +434,15 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
         # deferred checkpoint write: one host fetch per fold (see above)
         if not eager_ckpt:
             if mode == "CV_PROD":
-                save_checkpoint(ckpt_path, state, epoch, best_validation_loss)
+                if epoch >= 0:  # epochs == 0 ⇒ no file, matching eager cadence
+                    save_checkpoint(ckpt_path, state, epoch, best_validation_loss)
             elif best_state is not None:
                 save_checkpoint(ckpt_path, best_state, best_epoch,
                                 best_validation_loss)
                 del best_state
 
         _fold_plots(task, mode, metrics_path, run_path, n)
-        _fold_inference(task, mode, n_classes, cfg, engine, state, fold,
+        _fold_inference(task, n_classes, cfg, engine, state, fold,
                         f"{run_path}/fold_{n}", ckpt_path)
 
         logging.info("Total time for fold %d: %.2f", n, time.perf_counter() - fold_time)

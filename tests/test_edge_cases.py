@@ -81,3 +81,10 @@ def test_config_nnunet_widths_roundtrip(tmp_path):
     cfg_file.write_text("model: {architecture: MTnnUNet}\n")
     assert load_config(cfg_file).model.nnunet_widths is None
     assert init_multitask_model("MTnnUNet").widths == (32, 64, 128, 256, 320)
+
+
+def test_nnunet_widths_wrong_length_fails_fast():
+    import pytest
+    from multi_task_breast_cancer_tpu.models import init_multitask_model
+    with pytest.raises(ValueError, match="5 level widths"):
+        init_multitask_model("MTnnUNet", nnunet_widths=[4, 8, 12])

@@ -178,6 +178,20 @@ class MultiFSBBTSUNet(nn.Module):
         return cls, (out3, out2, out_npl1, out_npl2, out_npl3, out_npl4, input1, output1)
 
 
+class _ConvReLULevel(nn.Module):
+    """Two (conv3x3 bias=True → ReLU) blocks — the Adityan network's
+    ``LevelBlock`` (``AdityanNetwork.py:19-39``), which unlike the BTS family
+    uses NO normalisation, plain ReLU, and biased convs."""
+
+    mid_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.relu(conv3x3(self.mid_features, use_bias=True, name="conv1")(x))
+        return nn.relu(conv3x3(self.out_features, use_bias=True, name="conv2")(x))
+
+
 class Adityan(nn.Module):
     """Three-output network (classification, reconstruction, segmentation);
     reference ``AdityanNetwork.py:54-140`` (defined but not wired into the
@@ -195,29 +209,29 @@ class Adityan(nn.Module):
     def __call__(self, x: jnp.ndarray, *, train: bool = False):
         w = [self.width * 2 ** i for i in range(5)]
 
-        e1 = LevelBlock(w[0], w[0], name="encoder1")(x)
-        e2 = LevelBlock(w[1], w[1], name="encoder2")(max_pool_2x2(e1))
-        e3 = LevelBlock(w[2], w[2], name="encoder3")(max_pool_2x2(e2))
-        e4 = LevelBlock(w[3], w[3], name="encoder4")(max_pool_2x2(e3))
+        e1 = _ConvReLULevel(w[0], w[0], name="encoder1")(x)
+        e2 = _ConvReLULevel(w[1], w[1], name="encoder2")(max_pool_2x2(e1))
+        e3 = _ConvReLULevel(w[2], w[2], name="encoder3")(max_pool_2x2(e2))
+        e4 = _ConvReLULevel(w[3], w[3], name="encoder4")(max_pool_2x2(e3))
         p4 = max_pool_2x2(e4)
 
-        bottleneck = LevelBlock(w[4], w[3], name="bottleneck")(p4)
+        bottleneck = _ConvReLULevel(w[4], w[3], name="bottleneck")(p4)
 
-        d4 = LevelBlock(w[3], w[2], name="decoder4")(
+        d4 = _ConvReLULevel(w[3], w[2], name="decoder4")(
             jnp.concatenate([e4, deconv(w[3], 2, name="upsample4")(bottleneck)], axis=-1))
-        d3 = LevelBlock(w[2], w[1], name="decoder3")(
+        d3 = _ConvReLULevel(w[2], w[1], name="decoder3")(
             jnp.concatenate([e3, deconv(w[2], 2, name="upsample3")(d4)], axis=-1))
-        d2 = LevelBlock(w[1], w[0], name="decoder2")(
+        d2 = _ConvReLULevel(w[1], w[0], name="decoder2")(
             jnp.concatenate([e2, deconv(w[1], 2, name="upsample2")(d3)], axis=-1))
         d1 = jnp.concatenate([e1, deconv(w[0], 2, name="upsample1")(d2)], axis=-1)
 
         # segmentation map
-        segmap = LevelBlock(w[0], w[0], name="segmap")(d1)
+        segmap = _ConvReLULevel(w[0], w[0], name="segmap")(d1)
         seg_out = conv1x1(self.regions, name="seg_out")(segmap)
 
         # reconstruction map
-        recmap = LevelBlock(w[0], w[0], name="recmap")(d1)
-        rec_out = nn.sigmoid(conv3x3(self.regions, name="rec_out")(recmap))
+        recmap = _ConvReLULevel(w[0], w[0], name="recmap")(d1)
+        rec_out = nn.sigmoid(conv3x3(self.regions, use_bias=True, name="rec_out")(recmap))
 
         # classification map: 3 pools → ConvReLU(32) → AvgPool(16) → MLP(1000→3)
         cmap = max_pool_2x2(max_pool_2x2(max_pool_2x2(d1)))

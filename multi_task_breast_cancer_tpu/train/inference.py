@@ -73,7 +73,14 @@ def _forward_seg(engine, state, test_ds: ArrayDataset):
     """One batched forward; returns (per-head list or single, final logits)."""
     out = engine.predict(state, test_ds.images)
     if engine.cfg.task == "multitask":
-        cls_out, seg_out = out
+        if isinstance(out, tuple) and len(out) == 3:
+            # Adityan's (cls, reconstruction, seg) triple: no reference
+            # inference path exists for the reconstruction head (the network
+            # is absent from the reference factory) — dropped, mirroring
+            # Engine._losses.
+            cls_out, _, seg_out = out
+        else:
+            cls_out, seg_out = out
     else:
         cls_out, seg_out = None, out
     return cls_out, seg_out

@@ -82,7 +82,7 @@ def main() -> None:
     # Keep running 2-epoch windows until the rate stabilizes within 5%.
     perm = plan_epoch_indices(n, batch, host_rng)
     state, _ = engine.train_epoch(state, data, perm, jax.random.PRNGKey(1))
-    prev_rate, ramp_windows = 0.0, 0
+    prev_rate, ramp_windows, ramp_converged = 0.0, 0, False
     for w in range(15):
         t0 = time.perf_counter()
         for e in range(2):
@@ -95,6 +95,7 @@ def main() -> None:
         rate = 2 * n / (time.perf_counter() - t0)
         ramp_windows = w + 1
         if prev_rate and abs(rate - prev_rate) / rate < 0.05:
+            ramp_converged = True
             break
         prev_rate = rate
 
@@ -164,6 +165,9 @@ def main() -> None:
         "roofline": roofline,
         "baseline": baseline,
         "ramp_windows": ramp_windows,
+        # False = the 5% window-to-window stability criterion was never met;
+        # the reported value may then be below true steady state
+        "ramp_converged": ramp_converged,
     }))
 
 

@@ -22,6 +22,12 @@ def run_entry(task: str, mode: str) -> str:
                              "(multi-host runs; also auto-detected on TPU pods)")
     parser.add_argument("--num-processes", type=int, default=None)
     parser.add_argument("--process-id", type=int, default=None)
+    parser.add_argument("--resume", default=None, metavar="RUN_DIR",
+                        help="continue a killed/crashed run in place: completed "
+                             "folds are skipped and an interrupted fold restarts "
+                             "from its last checkpoint (per-epoch granularity "
+                             "with training.checkpoint_every_epoch=True); "
+                             "defaults to the run dir's own config.yaml")
     args = parser.parse_args()
 
     # Multi-host runtime init must happen before any device query. No-op on
@@ -31,6 +37,10 @@ def run_entry(task: str, mode: str) -> str:
                          process_id=args.process_id)
 
     config_path = args.config
+    if config_path is None and args.resume is not None:
+        cand = Path(args.resume) / "config.yaml"
+        if cand.exists():
+            config_path = str(cand)
     if config_path is None:
         for cand in DEFAULT_CONFIG_PATHS:
             if Path(cand).exists():
@@ -42,4 +52,4 @@ def run_entry(task: str, mode: str) -> str:
 
     cfg = load_config(config_path)
     return run_experiment(cfg, task=task, mode=mode, config_src=config_path,
-                          run_root=args.run_root)
+                          run_root=args.run_root, resume_dir=args.resume)

@@ -67,6 +67,11 @@ class TrainingConfig:
     # ~10s on tunnel runtimes). True: reference cadence — write on every
     # improvement (CV) / every epoch (CV_PROD), crash-resumable mid-fold.
     checkpoint_every_epoch: bool = False
+    # False (default): the segmentation drivers compute the per-epoch test
+    # Dice column only (PARITY D10). True: reference cadence — full test
+    # inference every epoch, rewriting seg/feature PNGs + per-image CSV each
+    # time (``training_segmentation.py:179-180``).
+    per_epoch_test_artifacts: bool = False
 
 
 @dataclass

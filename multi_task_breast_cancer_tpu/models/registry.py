@@ -71,10 +71,23 @@ def _nnunet_kw(nnunet_widths) -> dict:
     return {"widths": widths}
 
 
+def _reject_nnunet_widths(architecture: str, nnunet_widths) -> None:
+    """``model.nnunet_widths`` only applies to the nnU-Net family; silently
+    training a different architecture at default widths would hide a config
+    mistake — fail fast instead."""
+    if nnunet_widths is not None:
+        raise ValueError(
+            f"model.nnunet_widths is only valid for the nnU-Net family "
+            f"(nnUNet / nnUNetClassifier / MTnnUNet), not {architecture!r}; "
+            f"use model.width for this architecture")
+
+
 def init_segmentation_model(architecture: str, sequences: int = 1, regions: int = 1,
                             width: int = 48, deep_supervision: bool = False,
                             nnunet_widths=None) -> nn.Module:
     logging.info("Creating %s model (fed with %d sequences)", architecture, sequences)
+    if architecture != "nnUNet":
+        _reject_nnunet_widths(architecture, nnunet_widths)
     if architecture == "BTSUNet":
         return BTSUNet(regions=regions, width=width, deep_supervision=deep_supervision)
     if architecture == "nnUNet":
@@ -101,6 +114,8 @@ def init_segmentation_model(architecture: str, sequences: int = 1, regions: int 
 def init_classification_model(architecture: str, sequences: int = 1, n_classes: int = 3,
                               width: int = 48, nnunet_widths=None) -> nn.Module:
     logging.info("Creating %s model (fed with %d sequences)", architecture, sequences)
+    if architecture != "nnUNetClassifier":
+        _reject_nnunet_widths(architecture, nnunet_widths)
     if architecture == "BTSUNetClassifier":
         return BTSUNetClassifier(n_classes=n_classes, width=width)
     if architecture == "UNetPlusPlusClassifier":
@@ -117,6 +132,8 @@ def init_multitask_model(architecture: str, sequences: int = 1, regions: int = 1
                          deep_supervision: bool = False,
                          nnunet_widths=None) -> nn.Module:
     logging.info("Creating %s model (fed with %d sequences)", architecture, sequences)
+    if architecture != "MTnnUNet":
+        _reject_nnunet_widths(architecture, nnunet_widths)
     if architecture == "Multi_BTSUNet":
         return MultiBTSUNet(regions=regions, n_classes=n_classes, width=width,
                             deep_supervision=deep_supervision)

@@ -6,31 +6,54 @@ Keeps the reference's checkpoint content contract — a dict of
 parity: ``load_pretrained_model`` loads model weights (+ batch stats) only,
 like the reference whose optimizer restore is commented out
 (``src/utils/models.py:29-31``). ``restore_checkpoint`` additionally restores
-optimizer state and epoch, enabling true mid-training resume (a capability the
-reference lacks).
+optimizer state, epoch and the host-side scheduler/early-stopping counters
+(``resume_state``), enabling true mid-training resume (a capability the
+reference lacks; the reference stores the literal string ``'scheduler'``
+where scheduler state would go, ``training_multitask.py:247``).
 """
 
 from __future__ import annotations
 
 import logging
 import os
-from typing import Tuple
+from typing import Dict, Optional, Tuple
 
 from flax import serialization
 
 from multi_task_breast_cancer_tpu.train.state import TrainState
 
+# Flat float dict embedded in every checkpoint: scheduler state machine
+# (plateau: lr/best/bad-epochs; cosine: lr/epoch) + driver early-stopping
+# counters. Fixed keys keep the msgpack template shape scheduler-agnostic.
+EMPTY_RESUME_STATE: Dict[str, float] = {
+    "sched_lr": 0.0, "sched_best": 0.0, "sched_bad": 0.0, "sched_epoch": 0.0,
+    "patience": 0.0, "best_val_loss": 0.0,
+}
 
-def save_checkpoint(path: str, state: TrainState, epoch: int, val_loss: float) -> None:
+
+def save_checkpoint(path: str, state: TrainState, epoch: int, val_loss: float,
+                    resume_state: Optional[Dict[str, float]] = None) -> None:
     payload = {
         "epoch": epoch,
         "model_state_dict": {"params": state.params, "batch_stats": state.batch_stats},
         "optimizer_state_dict": state.opt_state,
         "val_loss": float(val_loss),
         "step": state.step,
+        "resume_state": dict(EMPTY_RESUME_STATE, **(resume_state or {})),
     }
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(payload))
+
+
+def _template(state: TrainState) -> dict:
+    return {
+        "epoch": 0,
+        "model_state_dict": {"params": state.params, "batch_stats": state.batch_stats},
+        "optimizer_state_dict": state.opt_state,
+        "val_loss": 0.0,
+        "step": state.step,
+        "resume_state": dict(EMPTY_RESUME_STATE),
+    }
 
 
 def _load(path: str, template: dict) -> dict:
@@ -42,31 +65,20 @@ def _load(path: str, template: dict) -> dict:
 
 def load_pretrained_model(state: TrainState, ckpt_path: str) -> TrainState:
     """Weights-only restore (reference parity)."""
-    template = {
-        "epoch": 0,
-        "model_state_dict": {"params": state.params, "batch_stats": state.batch_stats},
-        "optimizer_state_dict": state.opt_state,
-        "val_loss": 0.0,
-        "step": state.step,
-    }
-    payload = _load(ckpt_path, template)
+    payload = _load(ckpt_path, _template(state))
     logging.info("Loaded checkpoint '%s'. Last epoch: %s", ckpt_path, payload["epoch"])
     return state.replace(params=payload["model_state_dict"]["params"],
                          batch_stats=payload["model_state_dict"]["batch_stats"])
 
 
-def restore_checkpoint(state: TrainState, ckpt_path: str) -> Tuple[TrainState, int, float]:
-    """Full restore (params + optimizer + epoch) for mid-training resume."""
-    template = {
-        "epoch": 0,
-        "model_state_dict": {"params": state.params, "batch_stats": state.batch_stats},
-        "optimizer_state_dict": state.opt_state,
-        "val_loss": 0.0,
-        "step": state.step,
-    }
-    payload = _load(ckpt_path, template)
+def restore_checkpoint(state: TrainState, ckpt_path: str
+                       ) -> Tuple[TrainState, int, float, Dict[str, float]]:
+    """Full restore (params + optimizer + epoch + host scheduler/counter
+    state) for mid-training resume."""
+    payload = _load(ckpt_path, _template(state))
     state = state.replace(params=payload["model_state_dict"]["params"],
                           batch_stats=payload["model_state_dict"]["batch_stats"],
                           opt_state=payload["optimizer_state_dict"],
                           step=payload["step"])
-    return state, int(payload["epoch"]), float(payload["val_loss"])
+    resume = {k: float(v) for k, v in payload["resume_state"].items()}
+    return state, int(payload["epoch"]), float(payload["val_loss"]), resume

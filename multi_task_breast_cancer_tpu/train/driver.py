@@ -45,7 +45,11 @@ from multi_task_breast_cancer_tpu.ops.metrics import (
 )
 from multi_task_breast_cancer_tpu.parallel.mesh import data_mesh
 from multi_task_breast_cancer_tpu.train import inference as I
-from multi_task_breast_cancer_tpu.train.checkpoint import load_pretrained_model, save_checkpoint
+from multi_task_breast_cancer_tpu.train.checkpoint import (
+    load_pretrained_model,
+    restore_checkpoint,
+    save_checkpoint,
+)
 from multi_task_breast_cancer_tpu.train.loop import (
     Engine,
     EngineConfig,
@@ -267,12 +271,43 @@ def _fold_inference(task: str, n_classes: int, cfg: Config, engine,
                                                   cls_res.predicted_label)))
 
 
+def _metrics_rows(path: str) -> list:
+    """Data rows (header excluded) of a fold's metrics.csv; [] if absent."""
+    p = Path(path)
+    if not p.is_file():
+        return []
+    lines = [ln for ln in p.read_text().splitlines() if ln.strip()]
+    return lines[1:]
+
+
+def _rewrite_metrics(path: str, header: str, rows: list) -> None:
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Path(path).write_text("\n".join([header] + list(rows)) + "\n")
+
+
+def _fold_complete(run_path: str, n: int, task: str) -> bool:
+    """A fold is complete once its final inference artifacts exist (they are
+    written after training + checkpointing; multitask writes both files)."""
+    fold_dir = Path(f"{run_path}/fold_{n}")
+    needed = {"segmentation": ("results_segmentation.csv",),
+              "classification": ("results_classification.csv",),
+              "multitask": ("results_segmentation.csv",
+                            "results_classification.csv")}[task]
+    return all((fold_dir / f).is_file() for f in needed)
+
+
 def run_experiment(cfg: Config, task: str, mode: str = "CV",
                    config_src: Optional[str] = None, run_root: str = "runs",
-                   uclm_path: Optional[str] = None) -> str:
-    """Run the full k-fold experiment; returns the run directory path."""
+                   uclm_path: Optional[str] = None,
+                   resume_dir: Optional[str] = None) -> str:
+    """Run the full k-fold experiment; returns the run directory path.
+
+    ``resume_dir`` continues a crashed/killed run in place: completed folds
+    are skipped, an interrupted fold restarts from its last written checkpoint
+    (``training.checkpoint_every_epoch=True`` gives per-epoch granularity —
+    PARITY D9), and the host RNG stream is replayed so the finished run is
+    byte-identical to an uninterrupted one (tested)."""
     init_time = time.perf_counter()
-    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
     enable_compilation_cache()
 
     if cfg.training.CV < 2:
@@ -282,15 +317,27 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
     host_rng = np.random.default_rng(cfg.training.seed)
 
     n_classes = len(cfg.data.classes)
-    alpha_part = f"_alpha_{cfg.training.alpha}" if task == "multitask" else ""
-    run_path = (f"{run_root}/{timestamp}_{cfg.model.architecture}_{cfg.model.width}"
-                f"{alpha_part}_batch_{cfg.data.batch_size}_{'_'.join(cfg.data.classes)}")
+    if resume_dir is not None:
+        run_path = str(resume_dir).rstrip("/")
+        if not Path(run_path).is_dir():
+            sys.exit(f"--resume: run directory '{run_path}' does not exist")
+        # the original timestamp names the per-fold checkpoint files
+        timestamp = "_".join(Path(run_path).name.split("_")[:2])
+    else:
+        timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+        alpha_part = f"_alpha_{cfg.training.alpha}" if task == "multitask" else ""
+        run_path = (f"{run_root}/{timestamp}_{cfg.model.architecture}_{cfg.model.width}"
+                    f"{alpha_part}_batch_{cfg.data.batch_size}_{'_'.join(cfg.data.classes)}")
     Path(run_path).mkdir(parents=True, exist_ok=True)
     init_log(log_name=f"{run_path}/execution.log")
+    if resume_dir is not None:
+        logging.info("Resuming run in place: %s", run_path)
+    run_cfg_yaml = Path(run_path) / "config.yaml"
     if config_src and Path(config_src).exists():
-        shutil.copyfile(config_src, f"{run_path}/config.yaml")
-    else:
-        Path(f"{run_path}/config.yaml").write_text(DEFAULT_CONFIG_YAML)
+        if Path(config_src).resolve() != run_cfg_yaml.resolve():
+            shutil.copyfile(config_src, run_cfg_yaml)
+    elif not (resume_dir is not None and run_cfg_yaml.exists()):
+        run_cfg_yaml.write_text(DEFAULT_CONFIG_YAML)
     logging.info(pformat(dataclasses.asdict(cfg)))
 
     # reference seg-script quirk (``training_segmentation.py:113-120``): the
@@ -301,6 +348,17 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
         max_angle = 360.0
 
     folds = load_datasets(cfg.training, cfg.data, mode=mode, uclm_path=uclm_path)
+
+    # ``model.sequences`` parity (PARITY D12): Flax infers input channels from
+    # the data, so a wrong value would silently "work" where the reference's
+    # torch conv errors with a channel mismatch — validate it explicitly.
+    expected_ch = cfg.model.sequences + cfg.data.augmentation.n_active()
+    actual_ch = folds[0].train.images.shape[-1]
+    if actual_ch != expected_ch:
+        raise ValueError(
+            f"model.sequences + active augmentation channels = {expected_ch} "
+            f"but the dataset provides {actual_ch} input channel(s) "
+            f"(the reference's conv would fail with this mismatch)")
     mesh = data_mesh() if cfg.training.data_parallel else None
     if mesh is not None:
         logging.info("Data parallelism over %d devices (mesh axes %s)",
@@ -340,6 +398,20 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
     for n, fold in enumerate(folds):
         logging.info("\n\n *********************  FOLD %d  ********************* \n\n", n)
         fold_time = time.perf_counter()
+        metrics_path = f"{run_path}/fold_{n}/metrics.csv"
+        ckpt_suffix = ".tar" if task == "segmentation" else ""
+        ckpt_path = f"{run_path}/fold_{n}/model_{timestamp}_fold_{n}{ckpt_suffix}"
+
+        if resume_dir is not None and _fold_complete(run_path, n, task):
+            rows = _metrics_rows(metrics_path)
+            logging.info("Fold %d already complete (%d epochs) — skipping", n, len(rows))
+            # replay the host RNG stream so later folds draw the same epoch
+            # permutations an uninterrupted run would have drawn
+            for _ in rows:
+                plan_epoch_indices(len(fold.train), B, host_rng,
+                                   pad_to_steps=max_steps)
+            continue
+
         for sub in ("segs", "plots", "features_map"):
             Path(f"{run_path}/fold_{n}/{sub}").mkdir(parents=True, exist_ok=True)
 
@@ -356,11 +428,6 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
         train_data = engine.device_data(fold.train, pad_to=max_train_n)
         val_data = engine.device_data(fold.val) if fold.val is not None else None
         step_valid = step_valid_mask(len(fold.train), B, max_steps)
-        metrics_path = f"{run_path}/fold_{n}/metrics.csv"
-        write_metrics_file(metrics_path, header)
-
-        ckpt_suffix = ".tar" if task == "segmentation" else ""
-        ckpt_path = f"{run_path}/fold_{n}/model_{timestamp}_fold_{n}{ckpt_suffix}"
 
         best_validation_loss = 1_000_000.0
         patience = 0
@@ -372,8 +439,39 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
         # write-per-improvement cadence (crash-resumable, see PARITY D9).
         eager_ckpt = cfg.training.checkpoint_every_epoch
         best_state, best_epoch = None, 0
-        epoch = -1  # stays -1 when epochs == 0
-        for epoch in range(cfg.training.epochs):
+        best_resume_state, resume_state = None, None
+        resume_epoch = 0
+        if resume_dir is not None and Path(ckpt_path).is_file():
+            # Interrupted fold: restore the last written checkpoint (CV: best
+            # epoch; CV_PROD eager: last epoch), truncate metrics.csv to the
+            # checkpointed epoch, and replay the RNG stream to that point.
+            # Re-running the remaining epochs reproduces the uninterrupted
+            # trajectory exactly (same state + same permutations).
+            state, ckpt_epoch, _, rstate = restore_checkpoint(state, ckpt_path)
+            resume_epoch = ckpt_epoch + 1
+            resume_state = rstate
+            scheduler.load_state_dict(rstate)
+            patience = int(rstate["patience"])
+            best_validation_loss = rstate["best_val_loss"]
+            best_epoch = ckpt_epoch
+            set_learning_rate(state.opt_state, scheduler.lr)
+            rows = _metrics_rows(metrics_path)
+            _rewrite_metrics(metrics_path, header, rows[:resume_epoch])
+            for _ in range(resume_epoch):
+                plan_epoch_indices(len(fold.train), B, host_rng,
+                                   pad_to_steps=max_steps)
+            logging.info("Fold %d: resuming from epoch %d (checkpoint epoch %d)",
+                         n, resume_epoch, ckpt_epoch)
+        elif resume_dir is not None:
+            # no checkpoint to resume from (e.g. deferred cadence): restart
+            # the fold from scratch — RNG position at fold start is identical
+            _rewrite_metrics(metrics_path, header, [])
+            logging.info("Fold %d: no checkpoint found — restarting fold", n)
+        else:
+            write_metrics_file(metrics_path, header)
+
+        epoch = resume_epoch - 1  # stays resume_epoch-1 when no epochs run
+        for epoch in range(resume_epoch, cfg.training.epochs):
             current_lr = get_learning_rate(state.opt_state)
             t0 = time.perf_counter()
 
@@ -400,31 +498,54 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
                 scheduler.step(monitor)
             set_learning_rate(state.opt_state, scheduler.lr)
 
+            improved = False
             if mode == "CV_PROD":
-                # prod saves every epoch unconditionally (training_*_prod.py);
-                # the end-of-fold write below produces the identical final file
-                if eager_ckpt:
-                    save_checkpoint(ckpt_path, state, epoch, best_validation_loss)
+                pass  # no validation; prod early stopping is dead (reference quirk)
             elif vm["loss"] < best_validation_loss:
                 patience = 0
                 best_validation_loss = vm["loss"]
-                if eager_ckpt:
-                    save_checkpoint(ckpt_path, state, epoch, best_validation_loss)
-                else:
-                    best_state = jax.tree_util.tree_map(jnp.copy, state)
                 best_epoch = epoch
+                improved = True
             else:
                 patience += 1
 
             dt = time.perf_counter() - t0
             if task == "segmentation":
-                test_dice = quick_test_dice(engine, state, fold.test,
-                                            pad_to=max_test_n)
+                if cfg.training.per_epoch_test_artifacts:
+                    # reference cadence (``training_segmentation.py:179-180``):
+                    # full test inference each epoch, rewriting the seg/feature
+                    # PNGs and per-image CSV; metrics.csv Test column is the
+                    # same per-image mean Dice either way (PARITY D10)
+                    test_results = I.inference_binary_segmentation(
+                        engine, state, fold.test, f"{run_path}/fold_{n}")
+                    test_dice = float(test_results["DICE"].mean())
+                else:
+                    test_dice = quick_test_dice(engine, state, fold.test,
+                                                pad_to=max_test_n)
             else:
                 test_dice = None
             line = _log_epoch(task, mode, n_classes, epoch, current_lr, tm, vm,
                               test_dice, patience, dt, best_validation_loss)
+            # metrics row is written BEFORE the checkpoint: a kill between the
+            # two leaves ckpt_epoch < rows, which --resume handles by
+            # truncating to the checkpointed epoch and re-running
             write_metrics_file(metrics_path, line)
+
+            resume_state = dict(scheduler.state_dict(), patience=float(patience),
+                                best_val_loss=float(best_validation_loss))
+            if mode == "CV_PROD":
+                # prod saves every epoch unconditionally (training_*_prod.py);
+                # the end-of-fold write below produces the identical final file
+                if eager_ckpt:
+                    save_checkpoint(ckpt_path, state, epoch, best_validation_loss,
+                                    resume_state)
+            elif improved:
+                if eager_ckpt:
+                    save_checkpoint(ckpt_path, state, epoch, best_validation_loss,
+                                    resume_state)
+                else:
+                    best_state = jax.tree_util.tree_map(jnp.copy, state)
+                    best_resume_state = resume_state
 
             if patience > cfg.training.max_patience:
                 logging.info("\nValidation loss did not improve over the last %d "
@@ -434,11 +555,13 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
         # deferred checkpoint write: one host fetch per fold (see above)
         if not eager_ckpt:
             if mode == "CV_PROD":
-                if epoch >= 0:  # epochs == 0 ⇒ no file, matching eager cadence
-                    save_checkpoint(ckpt_path, state, epoch, best_validation_loss)
+                # epochs == 0 ⇒ no file, matching eager cadence
+                if epoch >= 0 and resume_state is not None:
+                    save_checkpoint(ckpt_path, state, epoch, best_validation_loss,
+                                    resume_state)
             elif best_state is not None:
                 save_checkpoint(ckpt_path, best_state, best_epoch,
-                                best_validation_loss)
+                                best_validation_loss, best_resume_state)
                 del best_state
 
         _fold_plots(task, mode, metrics_path, run_path, n)

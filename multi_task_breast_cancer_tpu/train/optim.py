@@ -82,6 +82,16 @@ class PlateauScheduler:
             self.num_bad_epochs = 0
         return self.lr
 
+    def state_dict(self) -> dict:
+        """Flat float dict for checkpoint embedding (mid-training resume)."""
+        return {"sched_lr": float(self.lr), "sched_best": float(self.best),
+                "sched_bad": float(self.num_bad_epochs), "sched_epoch": 0.0}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.lr = float(d["sched_lr"])
+        self.best = float(d["sched_best"])
+        self.num_bad_epochs = int(d["sched_bad"])
+
 
 @dataclasses.dataclass
 class CosineAnnealingScheduler:
@@ -102,6 +112,15 @@ class CosineAnnealingScheduler:
         self.lr = self.eta_min + (self.base_lr - self.eta_min) * \
             (1 + math.cos(math.pi * self.epoch / self.t_max)) / 2
         return self.lr
+
+    def state_dict(self) -> dict:
+        """Flat float dict for checkpoint embedding (mid-training resume)."""
+        return {"sched_lr": float(self.lr), "sched_best": 0.0,
+                "sched_bad": 0.0, "sched_epoch": float(self.epoch)}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.lr = float(d["sched_lr"])
+        self.epoch = int(d["sched_epoch"])
 
 
 def init_lr_scheduler(scheduler: str, base_lr: float, *, t_max: int = 20,

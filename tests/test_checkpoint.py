@@ -70,7 +70,7 @@ def test_full_resume_continues_identically(tmp_path):
 
     fresh = create_train_state(engine.model, engine.tx, jax.random.PRNGKey(9),
                                jnp.zeros((1, 32, 32, 1)))
-    resumed, epoch, val_loss = restore_checkpoint(fresh, path)
+    resumed, epoch, val_loss, _ = restore_checkpoint(fresh, path)
     assert epoch == 0 and val_loss == 1.0
     s2b, m_resumed = engine.train_epoch(resumed, data, perm2, jax.random.PRNGKey(2))
     np.testing.assert_allclose(m_direct["loss"], m_resumed["loss"], rtol=1e-6)
@@ -84,10 +84,35 @@ def test_missing_checkpoint_raises(tmp_path):
         load_pretrained_model(state, str(tmp_path / "nope"))
 
 
+def test_best_state_snapshot_not_aliased_by_lr_injection():
+    """The driver's on-device best-state snapshot (tree_map(jnp.copy, state))
+    must not alias the live opt_state: later in-place LR injections
+    (set_learning_rate) may not leak into the snapshot that will be written
+    at fold end."""
+    from multi_task_breast_cancer_tpu.train.optim import (
+        get_learning_rate, set_learning_rate)
+
+    engine, state, ds = _setup()
+    data = engine.device_data(ds)
+    perm = plan_epoch_indices(len(ds), 4, np.random.default_rng(1))
+    state, _ = engine.train_epoch(state, data, perm, jax.random.PRNGKey(1))
+
+    snap = jax.tree_util.tree_map(jnp.copy, state)
+    lr_before = get_learning_rate(snap.opt_state)
+    set_learning_rate(state.opt_state, 1e-5)
+    assert abs(get_learning_rate(state.opt_state) - 1e-5) < 1e-12
+    assert abs(get_learning_rate(snap.opt_state) - lr_before) < 1e-12
+
+
 def test_deferred_checkpoint_matches_eager_cadence(tmp_path):
     """Driver-level: the once-per-fold deferred checkpoint write (default)
     produces a byte-identical file to the reference's write-per-improvement
-    cadence (training.checkpoint_every_epoch=True)."""
+    cadence (training.checkpoint_every_epoch=True).
+
+    The cosine scheduler changes the LR (injected into the live opt_state)
+    every epoch, so if the deferred on-device best snapshot aliased the live
+    state, the end-of-fold write would carry a later LR than the eager
+    at-improvement write and the byte comparison would catch it."""
     from multi_task_breast_cancer_tpu.config import Config, DataConfig, \
         ModelConfig, OptimizerConfig, TrainingConfig
     from multi_task_breast_cancer_tpu.data import synthetic
@@ -101,8 +126,9 @@ def test_deferred_checkpoint_matches_eager_cadence(tmp_path):
         cfg = Config(
             model=ModelConfig(architecture="BTSUNet", width=4,
                               deep_supervision=False),
-            optimizer=OptimizerConfig(opt="Adam", lr=1e-3, scheduler="plateau"),
-            training=TrainingConfig(seed=1993, epochs=2, CV=2,
+            optimizer=OptimizerConfig(opt="Adam", lr=1e-3, scheduler="cosine",
+                                      t_max=4),
+            training=TrainingConfig(seed=1993, epochs=3, CV=2,
                                     checkpoint_every_epoch=eager,
                                     data_parallel=False),
             data=DataConfig(input_img=str(root), batch_size=4,

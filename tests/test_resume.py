@@ -1,0 +1,92 @@
+"""CLI-level crash/resume: killing a run mid-fold and resuming with
+``--resume`` must converge to artifacts byte-identical to an uninterrupted
+run (PARITY D9's crash-recovery story).
+
+The crash is injected deterministically by making the driver's checkpoint
+write raise after N successful writes — i.e. the process dies in the window
+between the metrics.csv row and the checkpoint write, the worst-ordered crash
+point, which ``--resume`` handles by truncating metrics.csv back to the last
+checkpointed epoch and re-running (same restored state + replayed host-RNG
+stream ⇒ identical trajectory).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from multi_task_breast_cancer_tpu.config import (
+    Config, DataConfig, ModelConfig, OptimizerConfig, TrainingConfig)
+from multi_task_breast_cancer_tpu.data import synthetic
+from multi_task_breast_cancer_tpu.train import driver as driver_mod
+from multi_task_breast_cancer_tpu.train.driver import run_experiment
+
+
+def _config(root, task):
+    return Config(
+        model=ModelConfig(architecture="Multi_BTSUNet" if task == "multitask"
+                          else "BTSUNet", width=4, deep_supervision=False),
+        optimizer=OptimizerConfig(opt="Adam", lr=1e-3, scheduler="cosine", t_max=4),
+        training=TrainingConfig(seed=1993, epochs=3, CV=2,
+                                checkpoint_every_epoch=True, data_parallel=False),
+        data=DataConfig(input_img=str(root), batch_size=4, oversampling=False),
+    )
+
+
+def _artifact_bytes(run: Path) -> dict:
+    out = {}
+    for f in sorted(run.rglob("*")):
+        if f.is_file() and (f.name.startswith("model_2") or f.suffix == ".csv"):
+            # checkpoint payloads + all CSVs; filenames carry the run
+            # timestamp, so key by fold-relative name with the ts stripped
+            rel = str(f.relative_to(run))
+            for tok in f.name.split("_"):
+                if len(tok) == 8 and tok.isdigit():
+                    rel = rel.replace(f.name, "CKPT" + f.suffix)
+                    break
+            out[rel] = f.read_bytes()
+    return out
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("task,mode,crash_at", [
+    # CV_PROD saves every epoch (6 calls total) — crash mid-fold-0
+    ("multitask", "CV_PROD", 3),
+    # CV saves on val improvement only; epoch 0 of each fold always improves
+    # (best starts at 1e6), so the 2nd call is guaranteed to happen
+    ("segmentation", "CV", 2),
+])
+def test_kill_and_resume_byte_identical(tmp_path, task, mode, crash_at, monkeypatch):
+    root = synthetic.make_preprocessed_busi(tmp_path / "busi", n_per_class=8,
+                                            size=32)
+
+    # Run A: uninterrupted.
+    run_a = Path(run_experiment(_config(root, task), task=task, mode=mode,
+                                run_root=str(tmp_path / "a")))
+
+    # Run B: crash before the crash_at-th checkpoint write, then resume.
+    real_save = driver_mod.save_checkpoint
+    calls = {"n": 0}
+
+    def crashing_save(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == crash_at:
+            raise RuntimeError("simulated kill between metrics row and ckpt")
+        return real_save(*args, **kwargs)
+
+    monkeypatch.setattr(driver_mod, "save_checkpoint", crashing_save)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run_experiment(_config(root, task), task=task, mode=mode,
+                       run_root=str(tmp_path / "b"))
+    monkeypatch.setattr(driver_mod, "save_checkpoint", real_save)
+
+    run_b = next((tmp_path / "b").iterdir())
+    resumed = Path(run_experiment(_config(root, task), task=task, mode=mode,
+                                  resume_dir=str(run_b)))
+    assert resumed == run_b
+
+    a, b = _artifact_bytes(run_a), _artifact_bytes(run_b)
+    assert set(a) == set(b)
+    for rel in a:
+        assert a[rel] == b[rel], f"artifact differs after resume: {rel}"

@@ -15,20 +15,14 @@ from __future__ import annotations
 import argparse
 import logging
 from pathlib import Path
-from pprint import pformat
 
 import jax
 import jax.numpy as jnp
 
 from multi_task_breast_cancer_tpu.config import load_config
 from multi_task_breast_cancer_tpu.data.loader import load_datasets
-from multi_task_breast_cancer_tpu.ops.metrics import (
-    binary_classification_metrics,
-    multiclass_classification_metrics,
-)
-from multi_task_breast_cancer_tpu.train import inference as I
 from multi_task_breast_cancer_tpu.train.checkpoint import load_pretrained_model
-from multi_task_breast_cancer_tpu.train.driver import _build_model
+from multi_task_breast_cancer_tpu.train.driver import _build_model, _fold_inference
 from multi_task_breast_cancer_tpu.train.loop import Engine, EngineConfig
 from multi_task_breast_cancer_tpu.train.optim import init_optimizer
 from multi_task_breast_cancer_tpu.train.state import create_train_state
@@ -68,32 +62,11 @@ def main() -> None:
     for sub in ("segs", "features_map"):
         (out / sub).mkdir(parents=True, exist_ok=True)
 
-    if args.task == "segmentation":
-        res = I.inference_binary_segmentation(engine, state, test_ds, str(out))
-        logging.info("Segmentation metrics:\n%s", res.mean(numeric_only=True))
-    elif args.task == "classification":
-        if n_classes <= 2:
-            res = I.inference_binary_classification(engine, state, test_ds, str(out))
-            logging.info("%s", pformat(binary_classification_metrics(
-                res.ground_truth, res.predicted_label)))
-        else:
-            res = I.inference_multiclass_classification(engine, state, test_ds, str(out))
-            logging.info("%s", pformat(multiclass_classification_metrics(
-                res.ground_truth, res.predicted_label)))
-    else:
-        if n_classes <= 2:
-            seg_res, cls_res = I.inference_multitask_binary(engine, state, test_ds, str(out))
-        else:
-            seg_res, cls_res = I.inference_multitask_multiclass(
-                engine, state, test_ds, str(out),
-                threshold=cfg.training.threshold_postprocessing,
-                overlap_seg_based_on_class=cfg.training.overlap_seg_based_on_class,
-                overlap_class_based_on_seg=cfg.training.overlap_class_based_on_seg)
-        logging.info("Segmentation metrics:\n%s", seg_res.mean(numeric_only=True))
-        logging.info("%s", pformat(multiclass_classification_metrics(
-            cls_res.ground_truth, cls_res.predicted_label) if n_classes > 2
-            else binary_classification_metrics(cls_res.ground_truth,
-                                               cls_res.predicted_label)))
+    # Same dispatch as the driver's per-fold testing phase — external
+    # evaluation exercises the identical inference code (incl. the multiclass
+    # prediction-refinement rules honoured from the config's PR flags).
+    _fold_inference(args.task, n_classes, cfg, engine, state, folds[0],
+                    str(out), args.checkpoint)
 
 
 if __name__ == "__main__":

@@ -60,7 +60,16 @@ def _load(path: str, template: dict) -> dict:
     if not os.path.isfile(path):
         raise ValueError(f"\n\t-> No checkpoint found at '{path}'")
     with open(path, "rb") as f:
-        return serialization.from_bytes(template, f.read())
+        data = f.read()
+    try:
+        return serialization.from_bytes(template, data)
+    except ValueError:
+        # legacy checkpoint (written before resume_state existed): restore
+        # without it; the zeroed sched_lr marks the resume info as absent
+        legacy = {k: v for k, v in template.items() if k != "resume_state"}
+        payload = serialization.from_bytes(legacy, data)
+        payload["resume_state"] = dict(EMPTY_RESUME_STATE)
+        return payload
 
 
 def load_pretrained_model(state: TrainState, ckpt_path: str) -> TrainState:

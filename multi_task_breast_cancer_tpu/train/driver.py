@@ -441,13 +441,22 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
         best_state, best_epoch = None, 0
         best_resume_state, resume_state = None, None
         resume_epoch = 0
+        restored = None
         if resume_dir is not None and Path(ckpt_path).is_file():
+            restored = restore_checkpoint(state, ckpt_path)
+            # legacy checkpoints (pre-resume_state) restore with a zeroed
+            # sched_lr marker — no host counters to resume from
+            if restored[3]["sched_lr"] <= 0:
+                logging.info("Fold %d: checkpoint predates resume support — "
+                             "restarting fold", n)
+                restored = None
+        if restored is not None:
             # Interrupted fold: restore the last written checkpoint (CV: best
             # epoch; CV_PROD eager: last epoch), truncate metrics.csv to the
             # checkpointed epoch, and replay the RNG stream to that point.
             # Re-running the remaining epochs reproduces the uninterrupted
             # trajectory exactly (same state + same permutations).
-            state, ckpt_epoch, _, rstate = restore_checkpoint(state, ckpt_path)
+            state, ckpt_epoch, _, rstate = restored
             resume_epoch = ckpt_epoch + 1
             resume_state = rstate
             scheduler.load_state_dict(rstate)

@@ -138,3 +138,28 @@ def test_deferred_checkpoint_matches_eager_cadence(tmp_path):
                                   run_root=str(tmp_path / f"runs_{eager}")))
         ckpts[eager] = next((run / "fold_0").glob("model_*.tar")).read_bytes()
     assert ckpts[False] == ckpts[True]
+
+
+def test_legacy_checkpoint_without_resume_state_loads(tmp_path):
+    """Checkpoints written before resume_state existed must still load:
+    weights restore works, and the resume info comes back zeroed (the
+    driver's --resume then restarts the fold instead of trusting it)."""
+    from flax import serialization
+
+    engine, state, ds = _setup()
+    legacy_payload = {
+        "epoch": 5,
+        "model_state_dict": {"params": state.params,
+                             "batch_stats": state.batch_stats},
+        "optimizer_state_dict": state.opt_state,
+        "val_loss": 0.25,
+        "step": state.step,
+    }
+    path = tmp_path / "legacy_ckpt"
+    path.write_bytes(serialization.to_bytes(legacy_payload))
+
+    restored = load_pretrained_model(state, str(path))
+    assert _tree_equal(restored.params, state.params)
+    full, epoch, val_loss, rstate = restore_checkpoint(state, str(path))
+    assert epoch == 5 and val_loss == 0.25
+    assert rstate["sched_lr"] == 0.0  # marker: no resume info present

@@ -98,3 +98,51 @@ def test_holdout_check_cli(busi_root):
         env=ENV, capture_output=True, text=True, timeout=300).stdout
     assert "--- fold 0 ---" in cv_out and "--- fold 1 ---" in cv_out
     assert "test ids:" in cv_out
+
+
+@pytest.mark.slow
+def test_evaluate_cli_multitask_pr(tmp_path, busi_root):
+    """PR-enabled multitask evaluation on external (UCLM-mode) data through
+    the same _fold_inference dispatch as the driver: the per-image CSV must
+    carry the raw-logit prob_* columns and respect the class/seg overlap
+    rules (every image predicted 'normal' has an empty refined mask —
+    reference ``models.py:325-332``)."""
+    import pandas as pd
+
+    import jax
+    import jax.numpy as jnp
+    from multi_task_breast_cancer_tpu.models import init_multitask_model
+    from multi_task_breast_cancer_tpu.train.checkpoint import save_checkpoint
+    from multi_task_breast_cancer_tpu.train.optim import init_optimizer
+    from multi_task_breast_cancer_tpu.train.state import create_train_state
+
+    model = init_multitask_model("Multi_BTSUNet", width=4)
+    tx = init_optimizer("Adam", 1e-3)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 1)))
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), state, epoch=0, val_loss=1.0)
+
+    cfg = _config(tmp_path, busi_root, arch="Multi_BTSUNet")
+    out = tmp_path / "eval_out"
+    proc = subprocess.run(
+        [sys.executable, "-m", "multi_task_breast_cancer_tpu.evaluate",
+         "--config", str(cfg), "--task", "multitask",
+         "--checkpoint", str(ckpt), "--data", str(busi_root),
+         "--output", str(out)],
+        capture_output=True, text=True, timeout=900, env=ENV, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    seg = pd.read_csv(out / "results_segmentation.csv")
+    cls = pd.read_csv(out / "results_classification.csv")
+    for col in ("prob_benign", "prob_malignant", "prob_normal"):
+        assert col in cls.columns
+    assert len(seg) == len(cls) > 0
+    # overlap_seg_based_on_class: predicted normal => refined mask emptied,
+    # so the per-image DICE on an empty-GT image is exactly 1.0 and on a
+    # tumor image exactly 0.0
+    import numpy as np
+    normals = cls[cls.predicted_label == 2]
+    if len(normals):
+        merged = seg.merge(normals, on="patient_id")
+        assert np.all((merged["DICE"] == 1.0) | (merged["DICE"] == 0.0))

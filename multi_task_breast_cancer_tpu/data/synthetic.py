@@ -44,6 +44,97 @@ def _blob_image(rng: np.random.Generator, size: int, with_tumor: bool,
     return img.astype(np.uint8), mask
 
 
+def _hard_image(rng: np.random.Generator, size: int, cls: str,
+                difficulty: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
+    """Calibrated-difficulty ultrasound-like image for the table-5 ablation
+    benchmark (see ``bench_ablation.py``): speckle + depth attenuation,
+    lesion-like DARK DISTRACTORS in every image (so the seg head false-
+    positives on 'normal' images exactly like the reference's DSC-normal
+    0.000 rows, table 5 via ``README.md:77``), and an ambiguous class cue
+    (margin irregularity: benign = smooth wobble, malignant = spiculated)
+    with overlapping distributions.
+
+    ``difficulty`` scales contrast/noise: 1.0 targets the reference's MT
+    regime (DSC-avg 0.6-0.8, ACC 0.7-0.8)."""
+    yy, xx = np.mgrid[0:size, 0:size]
+    img = rng.normal(120.0, 12.0 * difficulty, (size, size))
+    img -= (yy / size) * rng.uniform(10, 35)          # depth attenuation
+    # lesion-like dark distractors (shadowing / cysts), never in the mask
+    for _ in range(int(rng.integers(2, 5))):
+        cy, cx = rng.integers(0, size, 2)
+        ry, rx = rng.integers(size // 16, size // 6, 2)
+        d = ((yy - cy) / max(ry, 1)) ** 2 + ((xx - cx) / max(rx, 1)) ** 2 <= 1
+        img[d] *= rng.uniform(0.6, 0.85)
+
+    mask = np.zeros((size, size), np.uint8)
+    if cls != "normal":
+        cy, cx = rng.integers(size // 4, 3 * size // 4, 2)
+        ry, rx = rng.integers(size // 10, size // 4, 2)
+        # class cues, both probabilistic/overlapping: margin irregularity
+        # (spiculation) and posterior acoustic shadowing — the classic
+        # malignancy features in breast ultrasound
+        if cls == "malignant":
+            wobble_a = rng.uniform(0.18, 0.45)
+            k = int(rng.integers(5, 10))
+            shadowed = rng.random() < 0.70
+            interior = rng.uniform(0.48, 0.68)        # hypoechoic interior
+        else:
+            wobble_a = rng.uniform(0.02, 0.15)
+            k = int(rng.integers(3, 6))
+            shadowed = rng.random() < 0.12
+            interior = rng.uniform(0.56, 0.75)        # overlaps malignant
+        phi0 = rng.uniform(0, 2 * np.pi)
+        phi = np.arctan2(yy - cy, xx - cx)
+        r_norm = np.sqrt(((yy - cy) / max(ry, 1)) ** 2
+                         + ((xx - cx) / max(rx, 1)) ** 2)
+        lesion = r_norm <= 1.0 + wobble_a * np.sin(k * phi + phi0)
+        img[lesion] *= interior
+        if shadowed:
+            x0, x1 = max(cx - rx // 2, 0), min(cx + rx // 2 + 1, size)
+            img[min(cy + ry, size - 1):, x0:x1] *= rng.uniform(0.6, 0.8)
+        mask[lesion] = 255
+    # multiplicative speckle
+    img *= rng.gamma(8.0 / difficulty, difficulty / 8.0, (size, size))
+    return img.clip(0, 255).astype(np.uint8), mask
+
+
+def make_hard_busi(root: str | Path, size: int = 128, seed: int = 0,
+                   class_counts: Dict[str, int] | None = None,
+                   difficulty: float = 1.0) -> Path:
+    """Preprocessed-layout tree in the calibrated 'hard' style (ablation
+    benchmark). Default counts are the Curated-BUSI class totals the
+    reference reports (``README.md:44-47``: 222 benign / 164 malignant /
+    64 normal = 450 images)."""
+    import cv2
+    counts = class_counts or {"benign": 222, "malignant": 164, "normal": 64}
+    rng = np.random.default_rng(seed)
+    root = Path(root)
+    (root / "images").mkdir(parents=True, exist_ok=True)
+    (root / "masks").mkdir(parents=True, exist_ok=True)
+    rows = []
+    for cls in CLASSES:
+        for i in range(1, counts.get(cls, 0) + 1):
+            img, mask = _hard_image(rng, size, cls, difficulty)
+            img_path = root / "images" / f"{cls}_id_{i}.png"
+            mask_path = root / "masks" / f"{cls}_id_{i}_mask.png"
+            cv2.imwrite(str(img_path), img)
+            cv2.imwrite(str(mask_path), mask)
+            ys, xs = np.nonzero(mask)
+            rows.append({
+                "img_path": str(img_path), "mask_path": str(mask_path),
+                "class": cls, "id": i, "dim1": size, "dim2": size,
+                "tumor_pixels": int((mask == 255).sum()),
+                "y_max": int(ys.max() + 1) if len(ys) else 0,
+                "y_min": int(ys.min()) if len(ys) else 0,
+                "x_max": int(xs.max() + 1) if len(xs) else 0,
+                "x_min": int(xs.min()) if len(xs) else 0,
+                "y_size": int(ys.max() + 1 - ys.min()) if len(ys) else 0,
+                "x_size": int(xs.max() + 1 - xs.min()) if len(xs) else 0,
+            })
+    pd.DataFrame(rows).to_csv(root / "mapping.csv", index=False)
+    return root
+
+
 def make_raw_busi(root: str | Path, n_per_class: int = 6, size: int = 64,
                   seed: int = 0) -> Path:
     """Create a raw ``Dataset_BUSI_with_GT``-style tree: per-class folders of

@@ -371,3 +371,106 @@ def test_transplant_multi_bts_unet():
     for t, f in zip(t_seg, f_seg):
         np.testing.assert_allclose(
             _np(t), np.asarray(f).transpose(0, 3, 1, 2), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_transplant_fsb_bts_unet_deep_supervision():
+    """FSB_BTS_UNet(width=8, DS): transplant + forward parity for the
+    full-resolution no-pooling bridge (npl1-4 → decoder1 concat) and the
+    8-head deep-supervision order (``FSB_BTS_UNet.py:150-190``)."""
+    from multi_task_breast_cancer_tpu.models.fsb_bts_unet import FSBBTSUNet
+
+    tm = _ref("models/segmentation/FSB_BTS_UNet.py").FSB_BTS_UNet(
+        sequences=1, regions=1, width=8, deep_supervision=True)
+    tm.eval()
+    sd = tm.state_dict()
+
+    params = _bts_trunk_params(sd, fsb=True)
+    params["output1"] = _conv1x1(sd, "output1")
+    params["output3"] = _deconv_head(sd, "output3")
+    params["output2"] = _deconv_head(sd, "output2")
+    params["input1"] = _conv1x1(sd, "input1.0")
+    for k in ("out_npl1", "out_npl2", "out_npl3", "out_npl4"):
+        params[k] = _conv1x1(sd, f"{k}.0")
+
+    rng = np.random.default_rng(31)
+    x = rng.standard_normal((1, 64, 64, 1)).astype(np.float32)
+
+    with torch.no_grad():
+        t_out = tm(_nchw(x))
+    f_out = FSBBTSUNet(regions=1, width=8, deep_supervision=True).apply(
+        {"params": params}, jnp.asarray(x))
+
+    assert len(t_out) == len(f_out) == 8
+    for t, f in zip(t_out, f_out):
+        np.testing.assert_allclose(
+            _np(t), np.asarray(f).transpose(0, 3, 1, 2), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_transplant_nnunet2021():
+    """Segmentation nnU-Net 2021 (full reference widths): transplant +
+    forward parity for the 5-level deconv-upsampled decoder and the 4
+    always-on DS heads (``nnUNet.py:134-168``)."""
+    from multi_task_breast_cancer_tpu.models.nnunet import NNUNet2021
+
+    tm = _ref("models/segmentation/nnUNet.py").nnUNet2021(sequences=1, regions=1)
+    tm.eval()
+    sd = tm.state_dict()
+
+    backbone = {}
+    for i in range(1, 6):
+        backbone[f"encoder{i}"] = _levelblock(sd, f"encoder{i}")
+        backbone[f"decoder{i}"] = _levelblock(sd, f"decoder{i}")
+        backbone[f"upsample{i}"] = _deconv(sd, f"upsample{i}")
+    backbone["bottleneck"] = _levelblock(sd, "bottleneck")
+    heads = {"output4": _deconv_head(sd, "output4"),
+             "output3": _deconv_head(sd, "output3"),
+             "output2": _deconv_head(sd, "output2"),
+             "output1": _conv1x1(sd, "output1")}
+
+    rng = np.random.default_rng(37)
+    x = rng.standard_normal((1, 64, 64, 1)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tm(_nchw(x))
+    f_out = NNUNet2021(regions=1).apply(
+        {"params": {"backbone": backbone, "heads": heads}}, jnp.asarray(x))
+    assert len(t_out) == len(f_out) == 4
+    for t, f in zip(t_out, f_out):
+        np.testing.assert_allclose(
+            _np(t), np.asarray(f).transpose(0, 3, 1, 2), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_transplant_nnunet_classifier_softmax_quirk():
+    """nnUNetClassifier: transplant + forward parity THROUGH the
+    softmax-in-forward quirk (``nnUNet_classifier.py:168-169``) — outputs are
+    probabilities, so agreement also validates the quirk's placement."""
+    from multi_task_breast_cancer_tpu.models.classifiers import NNUNetClassifier
+
+    tm = _ref("models/classification/nnUNet_classifier.py").nnUNetClassifier(
+        sequences=1, n_classes=3)
+    tm.eval()
+    sd = tm.state_dict()
+
+    params = {}
+    for i in range(1, 6):
+        params[f"encoder{i}"] = _levelblock(sd, f"encoder{i}")
+    params["bottleneck"] = _levelblock(sd, "bottleneck")
+    params["upsample5"] = _deconv(sd, "upsample5")
+    params["decoder5"] = _levelblock(sd, "decoder5")
+    params["cls_head"] = {"process_encoder_5": _cinl(sd, "process_encoder_5"),
+                          "process_decoder_5": _cinl(sd, "process_decoder_5"),
+                          "cls_conv": _cinl(sd, "classifier.0"),
+                          "fc1": _dense(sd, "classifier.3"),
+                          "fc2": _dense(sd, "classifier.5")}
+
+    rng = np.random.default_rng(41)
+    x = rng.standard_normal((2, 64, 64, 1)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tm(_nchw(x))
+    f_out = NNUNetClassifier(n_classes=3).apply({"params": params},
+                                                jnp.asarray(x))
+    probs = np.asarray(f_out)
+    np.testing.assert_allclose(probs.sum(axis=-1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(_np(t_out), probs, rtol=1e-3, atol=1e-4)

@@ -39,12 +39,12 @@ SEED = 1993
 DIFFICULTY = 1.4  # calibrated so MT lands in the reference's regime
 
 
-def _config(root: Path, oversampling: bool):
+def _config(root: Path, oversampling: bool, architecture: str = "MTnnUNet"):
     from multi_task_breast_cancer_tpu.config import (
         Config, DataConfig, LossConfig, ModelConfig, OptimizerConfig,
         TrainingConfig)
     return Config(
-        model=ModelConfig(architecture="MTnnUNet"),
+        model=ModelConfig(architecture=architecture),
         optimizer=OptimizerConfig(opt="Adam", lr=1e-4, scheduler="plateau"),
         loss=LossConfig(function="DICE", inversely_weighted=True,
                         classification_criterion="Focal"),
@@ -74,6 +74,118 @@ def _fold_metrics(seg_csv: Path, cls_csv: Path) -> dict:
                                     cls["predicted_label"],
                                     average="weighted")), 4),
     }
+
+
+def _fold_states(cfg, run_path: Path, task: str):
+    """Yield (fold, engine, state-restored-from-fold-checkpoint) per fold."""
+    import jax
+    import jax.numpy as jnp
+
+    from multi_task_breast_cancer_tpu.data.loader import load_datasets
+    from multi_task_breast_cancer_tpu.models import (
+        init_classification_model, init_multitask_model, init_segmentation_model)
+    from multi_task_breast_cancer_tpu.train.checkpoint import load_pretrained_model
+    from multi_task_breast_cancer_tpu.train.loop import Engine, EngineConfig
+    from multi_task_breast_cancer_tpu.train.optim import init_optimizer
+    from multi_task_breast_cancer_tpu.train.state import create_train_state
+
+    folds = load_datasets(cfg.training, cfg.data, mode="CV")
+    n_classes = len(cfg.data.classes)
+    if task == "segmentation":
+        model = init_segmentation_model(cfg.model.architecture)
+    elif task == "classification":
+        model = init_classification_model(cfg.model.architecture,
+                                          n_classes=n_classes)
+    else:
+        model = init_multitask_model(cfg.model.architecture, n_classes=n_classes)
+    tx = init_optimizer(cfg.optimizer.opt, cfg.optimizer.lr)
+    engine = Engine(model, tx, EngineConfig(
+        task=task, n_classes=n_classes, batch_size=cfg.data.batch_size,
+        alpha=cfg.training.alpha, compute_dtype=cfg.training.compute_dtype))
+    for n, fold in enumerate(folds):
+        ckpt = next((run_path / f"fold_{n}").glob("model_*"))
+        state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                                   jnp.zeros((1,) + fold.test.images.shape[1:]))
+        yield fold, engine, load_pretrained_model(state, str(ckpt))
+
+
+def _st_pr_inference(seg_cfg, seg_run: Path, cls_cfg, cls_run: Path,
+                     use_pr: bool, out_root: Path) -> list:
+    """Table-5's "ST (Seg+Cls) [+ PR]" rows: combine a separately-trained
+    segmentation model and classifier with the prediction-refinement rules
+    (mask zeroed when the classifier says normal; label forced to normal when
+    the raw mask is empty). The reference repo has no code for this
+    combination either (only the paper's table) — the PR semantics follow
+    ``models.py:322-386``."""
+    import numpy as np
+
+    from multi_task_breast_cancer_tpu.ops.metrics import calculate_metrics
+    from multi_task_breast_cancer_tpu.train.inference import (
+        _cls_logits_np, _seg_heads_np, _sigmoid, count_pixels)
+
+    cls_states = list(_fold_states(cls_cfg, cls_run, "classification"))
+    rows = []
+    for n, (fold, seg_engine, seg_state) in enumerate(
+            _fold_states(seg_cfg, seg_run, "segmentation")):
+        _, cls_engine, cls_state = cls_states[n]
+        test_ds = fold.test
+
+        heads = _seg_heads_np(seg_engine.predict(seg_state, test_ds.images))
+        final = heads[-1] if isinstance(heads, list) else heads
+        raw_masks = (_sigmoid(final[..., 0]) > 0.5).astype(np.uint8)
+        logits = _cls_logits_np(cls_engine.predict(cls_state, test_ds.images))
+        pred_class = np.argmax(logits, axis=-1)
+
+        out_dir = out_root / f"fold_{n}"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        seg_rows, cls_rows = [], []
+        for i in range(len(test_ds)):
+            seg = raw_masks[i].copy()
+            if use_pr and pred_class[i] == 2:
+                seg[seg > 0] = 0
+            m = calculate_metrics(test_ds.masks[i, :, :, 0].astype(np.uint8),
+                                  seg, int(test_ds.patient_ids[i]))
+            m["class"] = test_ds.class_names[i]
+            seg_rows.append(m)
+            tumor_pixels = count_pixels(raw_masks[i]).get(1, 0)
+            label = 2 if (use_pr and tumor_pixels == 0) else int(pred_class[i])
+            cls_rows.append({"patient_id": int(test_ds.patient_ids[i]),
+                             "ground_truth": int(test_ds.labels[i]),
+                             "predicted_label": label})
+        pd.DataFrame(seg_rows).to_csv(out_dir / "results_segmentation.csv",
+                                      index=False)
+        pd.DataFrame(cls_rows).to_csv(out_dir / "results_classification.csv",
+                                      index=False)
+        rows.append(_fold_metrics(out_dir / "results_segmentation.csv",
+                                  out_dir / "results_classification.csv"))
+    return rows
+
+
+def _driver_fold_metrics(run_path: Path, task: str) -> list:
+    """Per-fold metrics straight from the driver's own results CSVs
+    (single-task rows: seg-only / cls-only)."""
+    from sklearn.metrics import f1_score
+    rows = []
+    for fold_dir in sorted(run_path.glob("fold_*")):
+        row = {}
+        seg_csv = fold_dir / "results_segmentation.csv"
+        cls_csv = fold_dir / "results_classification.csv"
+        if task == "segmentation":
+            seg = pd.read_csv(seg_csv)
+            per_class = seg.groupby("class")["DICE"].mean().to_dict()
+            row = {"dsc_benign": round(float(per_class.get("benign", np.nan)), 4),
+                   "dsc_malignant": round(float(per_class.get("malignant", np.nan)), 4),
+                   "dsc_normal": round(float(per_class.get("normal", np.nan)), 4),
+                   "dsc_avg": round(float(seg["DICE"].mean()), 4)}
+        else:
+            cls = pd.read_csv(cls_csv)
+            row = {"acc": round(float((cls["ground_truth"]
+                                       == cls["predicted_label"]).mean()), 4),
+                   "f1w": round(float(f1_score(cls["ground_truth"],
+                                               cls["predicted_label"],
+                                               average="weighted")), 4)}
+        rows.append(row)
+    return rows
 
 
 def _posthoc_inference(cfg, run_path: Path, use_pr: bool, out_root: Path) -> list:
@@ -140,7 +252,7 @@ def main() -> None:
         run_path = Path(run_experiment(
             cfg, task="multitask", mode="CV",
             run_root=str(tmp / f"runs_do{int(oversampling)}")))
-        walls[f"train{do_tag or '_base'}"] = round(time.perf_counter() - t0, 1)
+        walls[f"train_mt{do_tag or '_base'}"] = round(time.perf_counter() - t0, 1)
         for use_pr, pr_tag in ((False, ""), (True, "+PR")):
             name = "MT" + pr_tag + do_tag
             rows = _posthoc_inference(
@@ -148,6 +260,31 @@ def main() -> None:
             variants[name] = {"folds": rows, "summary": _summarize(rows)}
             print(name, json.dumps(variants[name]["summary"]), flush=True)
         shutil.rmtree(run_path / "fold_0" / "features_map", ignore_errors=True)
+
+    # single-task rows: seg-only + cls-only trainings, then the two-model
+    # "ST (Seg+Cls) + PR" combination (same nnU-Net family as the MT rows)
+    for oversampling, do_tag in ((False, ""), (True, "+DO")):
+        seg_cfg = _config(root, oversampling, "nnUNet")
+        t0 = time.perf_counter()
+        seg_run = Path(run_experiment(
+            seg_cfg, task="segmentation", mode="CV",
+            run_root=str(tmp / f"runs_seg{int(oversampling)}")))
+        walls[f"train_st_seg{do_tag or '_base'}"] = round(time.perf_counter() - t0, 1)
+        cls_cfg = _config(root, oversampling, "nnUNetClassifier")
+        t0 = time.perf_counter()
+        cls_run = Path(run_experiment(
+            cls_cfg, task="classification", mode="CV",
+            run_root=str(tmp / f"runs_cls{int(oversampling)}")))
+        walls[f"train_st_cls{do_tag or '_base'}"] = round(time.perf_counter() - t0, 1)
+
+        for name, rows in (
+                (f"ST_Seg{do_tag}", _driver_fold_metrics(seg_run, "segmentation")),
+                (f"ST_Cls{do_tag}", _driver_fold_metrics(cls_run, "classification")),
+                (f"ST_SegCls+PR{do_tag}", _st_pr_inference(
+                    seg_cfg, seg_run, cls_cfg, cls_run, True,
+                    tmp / f"st_inf_{int(oversampling)}"))):
+            variants[name] = {"folds": rows, "summary": _summarize(rows)}
+            print(name, json.dumps(variants[name]["summary"]), flush=True)
 
     out = {
         "config": {"model": "MTnnUNet", "epochs": EPOCHS, "cv": CV,
@@ -168,6 +305,14 @@ def main() -> None:
                       "f1w": 0.730},
             "MT+DO": {"dsc_avg": 0.742, "acc": 0.802, "f1w": 0.799},
             "MT+PR+DO": {"dsc_avg": 0.751, "acc": 0.802, "f1w": 0.801},
+            "ST_Seg": {"dsc_benign": 0.799, "dsc_malignant": 0.731,
+                       "dsc_normal": 0.0, "dsc_avg": 0.661},
+            "ST_Seg+DO": {"dsc_normal": 0.234, "dsc_avg": 0.692},
+            "ST_Cls": {"acc": 0.698, "f1w": 0.693},
+            "ST_Cls+DO": {"acc": 0.725, "f1w": 0.720},
+            "ST_SegCls+PR": {"dsc_normal": 0.719, "dsc_avg": 0.734,
+                             "acc": 0.698, "f1w": 0.693},
+            "ST_SegCls+PR+DO": {"dsc_avg": 0.739, "acc": 0.733, "f1w": 0.729},
         },
         "variants": variants,
     }

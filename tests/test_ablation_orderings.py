@@ -67,6 +67,45 @@ def test_do_lifts_classification(ab):
 
 
 def test_proposal_is_best_dsc_average(ab):
-    """Reference: MT+PR+DO tops DSC-average (0.751)."""
-    best = max(v["dsc_avg"] for v in ab.values())
+    """Reference: MT+PR+DO tops DSC-average (0.751) across all 10 rows."""
+    best = max(v["dsc_avg"] for v in ab.values() if "dsc_avg" in v)
     assert ab["MT+PR+DO"]["dsc_avg"] >= best - 0.015
+
+
+# ---------------------------------------------------------------------------
+# Single-task rows (full table-5 structure)
+# ---------------------------------------------------------------------------
+
+
+def test_st_seg_dsc_normal_is_zero(ab):
+    """Reference ST(Seg): 0.000±0.000 — a pure seg net always predicts
+    something on normal images."""
+    assert ab["ST_Seg"]["dsc_normal"] < 0.15
+
+
+def test_st_seg_do_partially_rescues_normal(ab):
+    """Reference ST(Seg)+DO: 0.234±0.469 — a high-variance PARTIAL rescue
+    (some folds learn 'no lesion' when normals are oversampled). Ours shows
+    the same shape (0.125±0.217)."""
+    assert ab["ST_Seg+DO"]["dsc_normal"] >= ab["ST_Seg"]["dsc_normal"]
+
+
+def test_do_lifts_st_classification(ab):
+    """Reference ST(Cls)+DO: ACC 0.698 → 0.725."""
+    assert ab["ST_Cls+DO"]["acc"] > ab["ST_Cls"]["acc"]
+    assert ab["ST_Cls+DO"]["f1w"] > ab["ST_Cls"]["f1w"]
+
+
+def test_multitask_beats_single_task_classification(ab):
+    """The paper's core claim (reference: MT 0.742 vs ST(Cls) 0.698): the
+    shared seg features improve classification."""
+    assert ab["MT"]["acc"] > ab["ST_Cls"]["acc"]
+    assert ab["MT"]["f1w"] > ab["ST_Cls"]["f1w"]
+
+
+def test_st_pr_do_rescues_normal(ab):
+    """Reference ST(Seg+Cls)+PR+DO: DSC-normal 0.656 (ours 0.672). Without
+    DO our ST classifier never predicts the minority class so PR cannot fire
+    — a documented divergence from the reference's 0.719 no-DO value (their
+    real-data ST classifier retained some normal recall without DO)."""
+    assert ab["ST_SegCls+PR+DO"]["dsc_normal"] > 0.3

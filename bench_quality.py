@@ -3,7 +3,7 @@ MTnnUNet under the FULL driver (4-fold CV, oversampling, on-device
 augmentation, plateau scheduler, early stopping, best-ckpt inference) on a
 learnable synthetic BUSI-like set at the real 128×128 size.
 
-Writes ``QUALITY_r02.json``: per-epoch train/val loss+dice+acc curves for
+Writes ``QUALITY_r03.json``: per-epoch train/val loss+dice+acc curves for
 every fold and dtype, final test metrics from the driver's inference phase,
 and an f32-vs-bf16 delta summary. This is the committed evidence that (a) the
 training dynamics converge over a long horizon and (b) bf16 mixed precision —
@@ -124,7 +124,7 @@ def main() -> None:
         "summary": {"test": test_summary, "bf16_vs_f32": deltas},
         "runs": results,
     }
-    Path("QUALITY_r02.json").write_text(json.dumps(out, indent=1) + "\n")
+    Path("QUALITY_r03.json").write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps({"summary": out["summary"]}, indent=2))
 
 

@@ -241,3 +241,34 @@ class TestAugment:
         a1, _ = joint_transform_batch(imgs, masks, jax.random.PRNGKey(7))
         a2, _ = joint_transform_batch(imgs, masks, jax.random.PRNGKey(7))
         np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_make_hard_busi_generator(tmp_path):
+    """Calibrated-hard ablation fixture: correct layout/counts, normal images
+    have EMPTY masks but non-trivial content (lesion-like distractors darken
+    them), tumor masks are non-empty and wobbly, mapping stats consistent."""
+    import cv2
+    import pandas as pd
+    from multi_task_breast_cancer_tpu.data import synthetic
+
+    counts = {"benign": 6, "malignant": 5, "normal": 4}
+    root = synthetic.make_hard_busi(tmp_path / "hard", size=64, seed=3,
+                                    class_counts=counts)
+    m = pd.read_csv(root / "mapping.csv")
+    assert m["class"].value_counts().to_dict() == counts
+
+    normal = m[m["class"] == "normal"]
+    assert (normal["tumor_pixels"] == 0).all()
+    for _, row in normal.iterrows():
+        mask = cv2.imread(row["mask_path"], 0)
+        assert mask.max() == 0
+        img = cv2.imread(row["img_path"], 0).astype(float)
+        # distractors must leave structure (not flat noise): sizable spread
+        assert img.std() > 15
+
+    tumors = m[m["class"] != "normal"]
+    assert (tumors["tumor_pixels"] > 0).all()
+    for _, row in tumors.head(3).iterrows():
+        mask = cv2.imread(row["mask_path"], 0)
+        assert set(np.unique(mask)) <= {0, 255}
+        assert (mask == 255).sum() == row["tumor_pixels"]

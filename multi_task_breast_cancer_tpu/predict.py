@@ -115,7 +115,12 @@ def main() -> None:
                             ("malignant" if probs[i][0] > 0.5 else "benign")})
     else:
         if args.task == "multitask":
-            cls_out, seg_out = out
+            if isinstance(out, tuple) and len(out) == 3:
+                # Adityan's (cls, reconstruction, seg) triple — reconstruction
+                # has no inference path (mirrors train/inference._forward_seg)
+                cls_out, _, seg_out = out
+            else:
+                cls_out, seg_out = out
             logits = _cls_logits_np(cls_out)
             probs = _softmax(logits) if n_classes > 2 else _sigmoid(logits)
         else:

@@ -24,25 +24,34 @@ from multi_task_breast_cancer_tpu.train.state import TrainState
 
 # Flat float dict embedded in every checkpoint: scheduler state machine
 # (plateau: lr/best/bad-epochs; cosine: lr/epoch) + driver early-stopping
-# counters. Fixed keys keep the msgpack template shape scheduler-agnostic.
+# counters, plus a ``valid`` marker (0.0 = no resume info present — legacy
+# file or save without counters). Fixed keys keep the msgpack template shape
+# scheduler-agnostic.
 EMPTY_RESUME_STATE: Dict[str, float] = {
-    "sched_lr": 0.0, "sched_best": 0.0, "sched_bad": 0.0, "sched_epoch": 0.0,
-    "patience": 0.0, "best_val_loss": 0.0,
+    "valid": 0.0, "sched_lr": 0.0, "sched_best": 0.0, "sched_bad": 0.0,
+    "sched_epoch": 0.0, "patience": 0.0, "best_val_loss": 0.0,
 }
 
 
 def save_checkpoint(path: str, state: TrainState, epoch: int, val_loss: float,
                     resume_state: Optional[Dict[str, float]] = None) -> None:
+    rs = dict(EMPTY_RESUME_STATE)
+    if resume_state is not None:
+        rs.update(resume_state, valid=1.0)
     payload = {
         "epoch": epoch,
         "model_state_dict": {"params": state.params, "batch_stats": state.batch_stats},
         "optimizer_state_dict": state.opt_state,
         "val_loss": float(val_loss),
         "step": state.step,
-        "resume_state": dict(EMPTY_RESUME_STATE, **(resume_state or {})),
+        "resume_state": rs,
     }
-    with open(path, "wb") as f:
+    # atomic replace: a kill mid-write must never destroy the previous good
+    # checkpoint or leave a truncated file (--resume depends on this)
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(payload))
+    os.replace(tmp, path)
 
 
 def _template(state: TrainState) -> dict:
@@ -65,7 +74,7 @@ def _load(path: str, template: dict) -> dict:
         return serialization.from_bytes(template, data)
     except ValueError:
         # legacy checkpoint (written before resume_state existed): restore
-        # without it; the zeroed sched_lr marks the resume info as absent
+        # without it; ``valid`` stays 0.0, marking the resume info as absent
         legacy = {k: v for k, v in template.items() if k != "resume_state"}
         payload = serialization.from_bytes(legacy, data)
         payload["resume_state"] = dict(EMPTY_RESUME_STATE)

@@ -285,15 +285,24 @@ def _rewrite_metrics(path: str, header: str, rows: list) -> None:
     Path(path).write_text("\n".join([header] + list(rows)) + "\n")
 
 
-def _fold_complete(run_path: str, n: int, task: str) -> bool:
-    """A fold is complete once its final inference artifacts exist (they are
-    written after training + checkpointing; multitask writes both files)."""
-    fold_dir = Path(f"{run_path}/fold_{n}")
-    needed = {"segmentation": ("results_segmentation.csv",),
-              "classification": ("results_classification.csv",),
-              "multitask": ("results_segmentation.csv",
-                            "results_classification.csv")}[task]
-    return all((fold_dir / f).is_file() for f in needed)
+def _fold_complete(run_path: str, n: int) -> bool:
+    """A fold is complete once the driver's end-of-fold marker exists.
+
+    An explicit marker (written AFTER the testing phase) is the only reliable
+    signal: the per-image results CSVs are ambiguous — the seg driver rewrites
+    them every epoch under ``per_epoch_test_artifacts``, and binary
+    classification writes ``results.csv`` (a reference filename quirk)."""
+    return (Path(f"{run_path}/fold_{n}") / ".fold_complete").is_file()
+
+
+def _find_checkpoint(run_path: str, n: int, default: str) -> str:
+    """Existing fold checkpoint, robust to a renamed run directory (the
+    timestamp embedded in the filename then differs from the dir name)."""
+    if Path(default).is_file():
+        return default
+    found = sorted(p for p in Path(f"{run_path}/fold_{n}").glob("model_*")
+                   if p.is_file() and not p.name.endswith(".tmp"))
+    return str(found[0]) if found else default
 
 
 def run_experiment(cfg: Config, task: str, mode: str = "CV",
@@ -402,7 +411,9 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
         ckpt_suffix = ".tar" if task == "segmentation" else ""
         ckpt_path = f"{run_path}/fold_{n}/model_{timestamp}_fold_{n}{ckpt_suffix}"
 
-        if resume_dir is not None and _fold_complete(run_path, n, task):
+        if resume_dir is not None:
+            ckpt_path = _find_checkpoint(run_path, n, ckpt_path)
+        if resume_dir is not None and _fold_complete(run_path, n):
             rows = _metrics_rows(metrics_path)
             logging.info("Fold %d already complete (%d epochs) — skipping", n, len(rows))
             # replay the host RNG stream so later folds draw the same epoch
@@ -444,9 +455,9 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
         restored = None
         if resume_dir is not None and Path(ckpt_path).is_file():
             restored = restore_checkpoint(state, ckpt_path)
-            # legacy checkpoints (pre-resume_state) restore with a zeroed
-            # sched_lr marker — no host counters to resume from
-            if restored[3]["sched_lr"] <= 0:
+            # legacy checkpoints (pre-resume_state) restore with the ``valid``
+            # marker zeroed — no host counters to resume from
+            if restored[3]["valid"] <= 0:
                 logging.info("Fold %d: checkpoint predates resume support — "
                              "restarting fold", n)
                 restored = None
@@ -576,6 +587,8 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
         _fold_plots(task, mode, metrics_path, run_path, n)
         _fold_inference(task, n_classes, cfg, engine, state, fold,
                         f"{run_path}/fold_{n}", ckpt_path)
+        # end-of-fold marker: --resume skips folds that reached this point
+        (Path(f"{run_path}/fold_{n}") / ".fold_complete").touch()
 
         logging.info("Total time for fold %d: %.2f", n, time.perf_counter() - fold_time)
         del state

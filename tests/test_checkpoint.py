@@ -162,4 +162,19 @@ def test_legacy_checkpoint_without_resume_state_loads(tmp_path):
     assert _tree_equal(restored.params, state.params)
     full, epoch, val_loss, rstate = restore_checkpoint(state, str(path))
     assert epoch == 5 and val_loss == 0.25
-    assert rstate["sched_lr"] == 0.0  # marker: no resume info present
+    assert rstate["valid"] == 0.0  # marker: no resume info present
+
+
+def test_resume_state_valid_marker_survives_zero_lr(tmp_path):
+    """A checkpoint saved with real counters must stay resumable even when
+    the scheduler LR is legitimately 0.0 (cosine with min_lr=0 at t_max):
+    the ``valid`` marker, not the LR, distinguishes legacy files."""
+    engine, state, ds = _setup()
+    path = str(tmp_path / "ckpt")
+    rs = {"sched_lr": 0.0, "sched_best": 1.0, "sched_bad": 0.0,
+          "sched_epoch": 4.0, "patience": 2.0, "best_val_loss": 0.5}
+    save_checkpoint(path, state, epoch=4, val_loss=0.5, resume_state=rs)
+    _, _, _, rstate = restore_checkpoint(state, path)
+    assert rstate["valid"] == 1.0
+    assert rstate["sched_lr"] == 0.0
+    assert rstate["patience"] == 2.0

@@ -28,8 +28,13 @@ def _config(root, task):
         model=ModelConfig(architecture="Multi_BTSUNet" if task == "multitask"
                           else "BTSUNet", width=4, deep_supervision=False),
         optimizer=OptimizerConfig(opt="Adam", lr=1e-3, scheduler="cosine", t_max=4),
+        # per_epoch_test_artifacts guards a past bug: the per-epoch rewrite of
+        # results_segmentation.csv must NOT make --resume treat an interrupted
+        # fold as complete (completion is signalled by the .fold_complete
+        # marker, not by result-file existence)
         training=TrainingConfig(seed=1993, epochs=3, CV=2,
-                                checkpoint_every_epoch=True, data_parallel=False),
+                                checkpoint_every_epoch=True, data_parallel=False,
+                                per_epoch_test_artifacts=(task == "segmentation")),
         data=DataConfig(input_img=str(root), batch_size=4, oversampling=False),
     )
 
@@ -90,3 +95,37 @@ def test_kill_and_resume_byte_identical(tmp_path, task, mode, crash_at, monkeypa
     assert set(a) == set(b)
     for rel in a:
         assert a[rel] == b[rel], f"artifact differs after resume: {rel}"
+
+
+@pytest.mark.slow
+def test_resume_renamed_run_dir_finds_checkpoints(tmp_path, monkeypatch):
+    """--resume on a RENAMED run directory must still find the fold
+    checkpoints (their filenames embed the original timestamp, no longer
+    derivable from the directory name) and resume rather than restart."""
+    root = synthetic.make_preprocessed_busi(tmp_path / "busi", n_per_class=8,
+                                            size=32)
+    real_save = driver_mod.save_checkpoint
+    calls = {"n": 0}
+
+    def crashing_save(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated kill")
+        return real_save(*args, **kwargs)
+
+    monkeypatch.setattr(driver_mod, "save_checkpoint", crashing_save)
+    with pytest.raises(RuntimeError):
+        run_experiment(_config(root, "multitask"), task="multitask",
+                       mode="CV_PROD", run_root=str(tmp_path / "b"))
+    monkeypatch.setattr(driver_mod, "save_checkpoint", real_save)
+
+    orig = next((tmp_path / "b").iterdir())
+    renamed = tmp_path / "b" / "exp_renamed"
+    orig.rename(renamed)
+
+    run_experiment(_config(root, "multitask"), task="multitask",
+                   mode="CV_PROD", resume_dir=str(renamed))
+    log = (renamed / "execution.log").read_text()
+    assert "Fold 0: resuming from epoch" in log
+    assert (renamed / "fold_1" / "results_classification.csv").is_file()
+    assert (renamed / "fold_1" / ".fold_complete").is_file()

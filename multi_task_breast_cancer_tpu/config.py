@@ -154,6 +154,13 @@ def load_config(path: str | Path) -> Config:
     return cfg
 
 
+def config_to_yaml(cfg: Config) -> str:
+    """Serialize a Config back to the five-section YAML (used for run-dir
+    provenance when the experiment was launched from a programmatic Config
+    rather than a file — the copied config must reflect the ACTUAL run)."""
+    return yaml.safe_dump(dataclasses.asdict(cfg), sort_keys=False)
+
+
 def load_config_file(path: str | Path) -> Tuple[ModelConfig, OptimizerConfig, LossConfig, TrainingConfig, DataConfig]:
     """Reference-parity loader: returns the five sections as separate objects
     (reference ``src/utils/miscellany.py:17-30`` returns five dicts)."""

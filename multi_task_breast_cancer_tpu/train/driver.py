@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from multi_task_breast_cancer_tpu.config import Config, DEFAULT_CONFIG_YAML
+from multi_task_breast_cancer_tpu.config import Config, config_to_yaml
 from multi_task_breast_cancer_tpu.data.loader import load_datasets
 from multi_task_breast_cancer_tpu.models import (
     init_classification_model,
@@ -342,11 +342,35 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
     if resume_dir is not None:
         logging.info("Resuming run in place: %s", run_path)
     run_cfg_yaml = Path(run_path) / "config.yaml"
+    if resume_dir is not None and run_cfg_yaml.exists():
+        # resume semantics (fold membership, RNG replay, shapes) only hold
+        # under the original run's critical settings — fail fast on mismatch
+        from multi_task_breast_cancer_tpu.config import load_config
+        saved = load_config(run_cfg_yaml)
+        critical = [
+            ("training.seed", cfg.training.seed, saved.training.seed),
+            ("training.CV", cfg.training.CV, saved.training.CV),
+            ("model.architecture", cfg.model.architecture, saved.model.architecture),
+            ("model.width", cfg.model.width, saved.model.width),
+            ("model.deep_supervision", cfg.model.deep_supervision,
+             saved.model.deep_supervision),
+            ("data.batch_size", cfg.data.batch_size, saved.data.batch_size),
+            ("data.input_img", cfg.data.input_img, saved.data.input_img),
+            ("data.oversampling", cfg.data.oversampling, saved.data.oversampling),
+            ("data.classes", list(cfg.data.classes), list(saved.data.classes)),
+        ]
+        mismatched = [(k, now, was) for k, now, was in critical if now != was]
+        if mismatched:
+            sys.exit("--resume: config mismatch vs the run's own config.yaml "
+                     f"(resume would not reproduce the original trajectory): "
+                     f"{mismatched}")
     if config_src and Path(config_src).exists():
         if Path(config_src).resolve() != run_cfg_yaml.resolve():
             shutil.copyfile(config_src, run_cfg_yaml)
     elif not (resume_dir is not None and run_cfg_yaml.exists()):
-        run_cfg_yaml.write_text(DEFAULT_CONFIG_YAML)
+        # no source file: serialize the ACTUAL config for provenance (the
+        # resume mismatch guard above relies on this reflecting the run)
+        run_cfg_yaml.write_text(config_to_yaml(cfg))
     logging.info(pformat(dataclasses.asdict(cfg)))
 
     # reference seg-script quirk (``training_segmentation.py:113-120``): the

@@ -129,3 +129,22 @@ def test_resume_renamed_run_dir_finds_checkpoints(tmp_path, monkeypatch):
     assert "Fold 0: resuming from epoch" in log
     assert (renamed / "fold_1" / "results_classification.csv").is_file()
     assert (renamed / "fold_1" / ".fold_complete").is_file()
+
+
+def test_resume_rejects_mismatched_config(tmp_path):
+    """Resuming with different critical settings (seed here) would silently
+    break fold membership / RNG replay — the driver must fail fast."""
+    from multi_task_breast_cancer_tpu.config import DEFAULT_CONFIG_YAML
+
+    run_dir = tmp_path / "20260101_000000_BTSUNet_4_batch_4_x"
+    run_dir.mkdir()
+    (run_dir / "config.yaml").write_text(DEFAULT_CONFIG_YAML)
+
+    root = synthetic.make_preprocessed_busi(tmp_path / "busi", n_per_class=4,
+                                            size=32)
+    cfg = _config(root, "segmentation")
+    assert cfg.training.seed == 1993  # default yaml also uses 1993…
+    cfg.training.seed = 7  # …so force a mismatch
+    with pytest.raises(SystemExit, match="config mismatch"):
+        run_experiment(cfg, task="segmentation", mode="CV",
+                       resume_dir=str(run_dir))

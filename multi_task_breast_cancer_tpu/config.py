@@ -72,6 +72,11 @@ class TrainingConfig:
     # inference every epoch, rewriting seg/feature PNGs + per-image CSV each
     # time (``training_segmentation.py:179-180``).
     per_epoch_test_artifacts: bool = False
+    # Opt-in 3-shear Pallas augmentation (PARITY D13): identical flip/angle
+    # draws, rotation resampled per shear instead of in one gather — measured
+    # ~8x faster augmentation (~+20% train throughput) on TPU v5e. Requires
+    # compute_dtype bfloat16 and no extra augment channels.
+    fast_augmentation: bool = False
 
 
 @dataclass

@@ -1,0 +1,234 @@
+"""Opt-in fast augmentation: 3-shear (Paeth) nearest rotation as a Pallas
+VMEM kernel (``training.fast_augmentation``, bf16 + single-image-channel
+configs only).
+
+Motivation (PARITY round-3 changelog): the exact torchvision-parity rotation
+is ONE arbitrary per-pixel gather, which neither XLA (latency-bound, ~23% of
+the train step) nor Mosaic (``tpu.dynamic_gather`` is a within-vreg shuffle)
+can run fast. The classic Paeth decomposition rewrites rotation as THREE
+per-row shears — and a per-row shear IS a within-vreg lane gather, which
+Mosaic supports. The full hflip→vflip→rotate pipeline canonicalizes into
+
+    G1 → T → G2 → T → G3 → T^(q mod 2)
+
+where each ``G`` is a lane-affine gather ``idx(y,x) = d·x + c + s[y]`` with
+zero fill and ``T`` is a (VMEM-cheap) transpose; quadrant rotations and flips
+fold into the gather parameters exactly (fuzz-tested bit-exact against the
+sequential op list for all 16 dihedral cases).
+
+SEMANTICS DEVIATION (documented as PARITY D13): the flip/angle DRAWS are
+bit-identical to the exact path (same key splits), but the rotation
+resampling rounds per shear instead of once, so individual pixels near
+lesion boundaries can differ by one position (measured mask Dice between the
+two resamplings ≥ 0.988, mean 0.993). Training trajectories therefore differ
+from the torchvision-parity path — this is why the fast path is opt-in.
+
+Data layout: the fold's (N,H,W,2) [mask|image] bf16 stack is packed once per
+fold into (N,H,W) int32 lanes ((u16(mask)<<16)|u16(image)) so the kernel's
+gathers run on 32-bit lanes (Mosaic requires matching data/index bitwidths);
+the per-sample plane is DMA'd contiguously into VMEM via scalar-prefetch
+block indexing, which also performs the batch row selection.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # pltpu importable only with TPU-capable jaxlib
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+Array = jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# channel packing (2 × bf16 → int32 lane)
+# ---------------------------------------------------------------------------
+
+
+def pack_bf16x2(stack: Array) -> Array:
+    """(..., 2) bf16 → (...) int32: lane = (u16(ch0) << 16) | u16(ch1)."""
+    u = jax.lax.bitcast_convert_type(stack.astype(jnp.bfloat16),
+                                     jnp.uint16).astype(jnp.uint32)
+    return ((u[..., 0] << 16) | u[..., 1]).astype(jnp.int32)
+
+
+def unpack_bf16x2(packed: Array) -> Array:
+    """(...) int32 → (..., 2) bf16."""
+    u = packed.astype(jnp.uint32)
+    ch0 = jax.lax.bitcast_convert_type((u >> 16).astype(jnp.uint16), jnp.bfloat16)
+    ch1 = jax.lax.bitcast_convert_type((u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16)
+    return jnp.stack([ch0, ch1], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# per-sample pipeline parameters (vectorized over the batch)
+# ---------------------------------------------------------------------------
+
+
+def _fold_pre_L(cond, d, c, s, w):
+    return (jnp.where(cond, -d, d), jnp.where(cond, w - 1 - c, c),
+            jnp.where(cond[:, None], -s, s))
+
+
+def _fold_post_L(cond, d, c, s, w):
+    return (jnp.where(cond, -d, d), jnp.where(cond, c + d * (w - 1), c), s)
+
+
+def _relabel_rows(cond, s):
+    return jnp.where(cond[:, None], s[:, ::-1], s)
+
+
+def build_pipeline_params(key: jax.Array, b: int, w: int, *, p_hflip: float,
+                          p_vflip: float, max_angle: float
+                          ) -> Tuple[Array, Array, Array, Array]:
+    """Draw per-sample flips/angles (SAME key-split scheme as the exact path,
+    ``data/augment.py::_joint_coords``) and fold them into the fixed-pipeline
+    gather parameters.
+
+    Returns (idx_planes (B,3,W,W) int32, t1 (B,) int32)."""
+    keys = jax.random.split(key, b)
+
+    def draws(k):
+        kh, kv, kr = jax.random.split(k, 3)
+        fh = jax.random.uniform(kh) < p_hflip
+        fv = jax.random.uniform(kv) < p_vflip
+        ang = jax.random.uniform(kr, minval=-max_angle, maxval=max_angle)
+        return fh, fv, ang
+
+    fh, fv, angle = jax.vmap(draws)(keys)
+    return pipeline_params_from_draws(fh, fv, angle, w)
+
+
+def pipeline_params_from_draws(fh: Array, fv: Array, angle: Array, w: int
+                               ) -> Tuple[Array, Array, Array, Array]:
+    c_mid = (w - 1) / 2.0
+    ang = jnp.mod(angle + 180.0, 360.0) - 180.0
+    qf = jnp.round(ang / 90.0)
+    phi = ang - 90.0 * qf
+    q = jnp.mod(qf.astype(jnp.int32), 4)
+    a = jnp.tan(jnp.deg2rad(phi) / 2.0)
+    bsh = -jnp.sin(jnp.deg2rad(phi))
+
+    y = jnp.arange(w, dtype=jnp.float32) - c_mid
+    s1 = -jnp.round(a[:, None] * y[None, :]).astype(jnp.int32)   # (B, W)
+    s2 = -jnp.round(bsh[:, None] * y[None, :]).astype(jnp.int32)
+    s3 = s1
+    zeros = jnp.zeros(fh.shape[0], jnp.int32)
+    d1 = d2 = d3 = zeros + 1
+    c1 = c2 = c3 = zeros
+
+    # flips (applied before the shears)
+    d1, c1, s1 = _fold_pre_L(fh, d1, c1, s1, w)
+    s1 = _relabel_rows(fv, s1)
+    d2, c2, s2 = _fold_pre_L(fv, d2, c2, s2, w)
+
+    # quadrant rotations (applied after the shears), unrolled: the trailing-
+    # transpose parity is determined by q, so each step's fold target is static
+    step1 = q >= 1
+    d3, c3, s3 = _fold_post_L(step1, d3, c3, s3, w)
+    step2 = q >= 2
+    s3 = _relabel_rows(step2, s3)
+    d2, c2, s2 = _fold_post_L(step2, d2, c2, s2, w)
+    step3 = q >= 3
+    d3, c3, s3 = _fold_post_L(step3, d3, c3, s3, w)
+    t1 = jnp.mod(q, 2).astype(jnp.int32)
+
+    iota_x = jnp.arange(w, dtype=jnp.int32)[None, None, :]       # (1,1,W)
+    d = jnp.stack([d1, d2, d3], axis=1)[:, :, None, None]        # (B,3,1,1)
+    c = jnp.stack([c1, c2, c3], axis=1)[:, :, None, None]
+    s = jnp.stack([s1, s2, s3], axis=1)[:, :, :, None]           # (B,3,W,1)
+    idx = d * iota_x[:, :, None, :] + c + s                       # (B,3,W,W)
+    return idx.astype(jnp.int32), t1
+
+
+# ---------------------------------------------------------------------------
+# executors: reference (pure jnp, any backend) and Pallas kernel (TPU)
+# ---------------------------------------------------------------------------
+
+
+def _gather_stage(x: Array, idx: Array, w: int) -> Array:
+    ok = (idx >= 0) & (idx < w)
+    out = jnp.take_along_axis(x, jnp.clip(idx, 0, w - 1), axis=-1)
+    return jnp.where(ok, out, jnp.zeros_like(out))
+
+
+def reference_pipeline(planes: Array, idx: Array, t1: Array) -> Array:
+    """Pure-jnp executor of the fixed pipeline (batched); used for tests and
+    as the non-TPU fallback. planes (B,W,W), idx (B,3,W,W), t1 (B,)."""
+    w = planes.shape[-1]
+    x = _gather_stage(planes, idx[:, 0], w)
+    x = jnp.swapaxes(x, -1, -2)
+    x = _gather_stage(x, idx[:, 1], w)
+    x = jnp.swapaxes(x, -1, -2)
+    x = _gather_stage(x, idx[:, 2], w)
+    xT = jnp.swapaxes(x, -1, -2)
+    return jnp.where((t1 > 0)[:, None, None], xT, x)
+
+
+def _kernel(bidx_ref, t1_ref, src_ref, idx_ref, out_ref):
+    w = src_ref.shape[-1]
+    x = src_ref[0]                       # (W, W) int32, sample already DMA'd
+    for k in range(3):
+        idx = idx_ref[0, k]              # (W, W) int32
+        ok = (idx >= 0) & (idx < w)
+        g = jnp.take_along_axis(x, jnp.clip(idx, 0, w - 1), axis=1)
+        x = jnp.where(ok, g, jnp.zeros_like(g))
+        if k < 2:
+            x = x.T
+    i = pl.program_id(0)
+    out_ref[0] = jnp.where(t1_ref[i] > 0, x.T, x)
+
+
+def pallas_pipeline(packed: Array, batch_idx: Array, idx: Array, t1: Array,
+                    *, interpret: bool = False) -> Array:
+    """Kernel executor: per grid step, DMA sample ``batch_idx[i]``'s packed
+    (W,W) plane into VMEM (this is also the batch row selection) and run the
+    three lane-gathers + transposes at VMEM speed."""
+    n, h, w = packed.shape
+    b = batch_idx.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i, bidx, t1: (bidx[i], 0, 0)),
+            pl.BlockSpec((1, 3, h, w), lambda i, bidx, t1: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h, w), lambda i, bidx, t1: (i, 0, 0)),
+    )
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(batch_idx.astype(jnp.int32), t1.astype(jnp.int32), packed, idx)
+
+
+def fast_joint_transform(packed: Array, batch_idx: Array, key: jax.Array, *,
+                         p_hflip: float = 0.5, p_vflip: float = 0.5,
+                         max_angle: float = 360.0,
+                         use_pallas: bool = True,
+                         interpret: bool = False) -> Array:
+    """Batch selection + joint flips/rotation on the packed fold stack.
+
+    Returns the augmented (B, W, W, 2) bf16 [mask|image] batch."""
+    b = batch_idx.shape[0]
+    w = packed.shape[-1]
+    idx, t1 = build_pipeline_params(key, b, w, p_hflip=p_hflip,
+                                    p_vflip=p_vflip, max_angle=max_angle)
+    if use_pallas and _HAS_PLTPU and (interpret or
+                                      jax.default_backend() == "tpu"):
+        out = pallas_pipeline(packed, batch_idx, idx, t1, interpret=interpret)
+    else:
+        planes = jnp.take(packed, batch_idx, axis=0)
+        out = reference_pipeline(planes, idx, t1)
+    return unpack_bf16x2(out)

@@ -415,6 +415,7 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
         p_hflip=cfg.data.transforms.horizontal_flip,
         p_vflip=cfg.data.transforms.vertical_flip,
         compute_dtype=cfg.training.compute_dtype,
+        fast_augmentation=cfg.training.fast_augmentation,
     )
     engine = Engine(model, tx, ecfg, mesh)
 

@@ -56,6 +56,10 @@ class EngineConfig:
     p_vflip: float = 0.5
     max_angle: float = 360.0
     compute_dtype: str = "float32"  # 'bfloat16' casts activations for the MXU
+    # opt-in 3-shear Pallas augmentation (PARITY D13): same flip/angle draws,
+    # rotation resampled per shear — measured 8x faster than the exact-parity
+    # gather on TPU v5e. Requires bf16 compute, 1 image channel, square imgs.
+    fast_augmentation: bool = False
 
 
 def make_cls_targets(labels: np.ndarray, n_classes: int) -> np.ndarray:
@@ -222,7 +226,8 @@ class Engine:
         return tuple(a.astype(dt) if a.dtype != dt else a for a in arrays)
 
     def _train_epoch_impl(self, state: TrainState, images, masks, cls_targets,
-                          labels_int, perm, key, step_valid=None):
+                          labels_int, perm, key, step_valid=None,
+                          aug_packed=None):
         cfg = self.cfg
         B = cfg.batch_size
         steps = perm.shape[0] // B
@@ -235,26 +240,40 @@ class Engine:
         def body(carry, xs):
             state, sums = carry
             batch_idx, k, valid = xs
-            imgs = jnp.take(images, batch_idx, axis=0)
-            msks = jnp.take(masks, batch_idx, axis=0)
             ctgt = jnp.take(cls_targets, batch_idx, axis=0)
             lint = jnp.take(labels_int, batch_idx, axis=0)
-            # cast BEFORE the augmentation gather: fewer bytes would move if
-            # the per-pixel gather ran on uint8, but 8-bit take_along_axis
-            # lowers poorly on TPU (measured 20% slower end-to-end) — only
-            # the contiguous row gather above benefits from uint8 storage
-            imgs, msks = self._to_compute(imgs, msks)
-            imgs, msks, ctgt = self._shard_batch(imgs, msks, ctgt)
-
             k_aug, k_drop = jax.random.split(k)
-            if cfg.use_transforms:
-                n_mask = msks.shape[-1]
-                stack = jnp.concatenate([msks, imgs], axis=-1)
-                skeys = jax.random.split(k_aug, stack.shape[0])
-                stack = joint_transform_stack_batch(
-                    stack, skeys, p_hflip=cfg.p_hflip, p_vflip=cfg.p_vflip,
-                    max_angle=cfg.max_angle)
-                msks, imgs = stack[..., :n_mask], stack[..., n_mask:]
+
+            if cfg.use_transforms and aug_packed is not None:
+                # opt-in FAST path (PARITY D13): batch selection + flips +
+                # 3-shear rotation in one Pallas VMEM kernel on the packed
+                # [mask|image] int32 planes — same flip/angle draws as the
+                # exact path, rotation resampled per shear
+                from multi_task_breast_cancer_tpu.ops.fast_augment import (
+                    fast_joint_transform)
+                stack = fast_joint_transform(
+                    aug_packed, batch_idx, k_aug, p_hflip=cfg.p_hflip,
+                    p_vflip=cfg.p_vflip, max_angle=cfg.max_angle)
+                msks, imgs = stack[..., :1], stack[..., 1:]
+                imgs, msks, ctgt = self._shard_batch(imgs, msks, ctgt)
+            else:
+                imgs = jnp.take(images, batch_idx, axis=0)
+                msks = jnp.take(masks, batch_idx, axis=0)
+                # cast BEFORE the augmentation gather: fewer bytes would move
+                # if the per-pixel gather ran on uint8, but 8-bit
+                # take_along_axis lowers poorly on TPU (measured 20% slower
+                # end-to-end) — only the contiguous row gather above benefits
+                # from uint8 storage
+                imgs, msks = self._to_compute(imgs, msks)
+                imgs, msks, ctgt = self._shard_batch(imgs, msks, ctgt)
+                if cfg.use_transforms:
+                    n_mask = msks.shape[-1]
+                    stack = jnp.concatenate([msks, imgs], axis=-1)
+                    skeys = jax.random.split(k_aug, stack.shape[0])
+                    stack = joint_transform_stack_batch(
+                        stack, skeys, p_hflip=cfg.p_hflip, p_vflip=cfg.p_vflip,
+                        max_angle=cfg.max_angle)
+                    msks, imgs = stack[..., :n_mask], stack[..., n_mask:]
 
             def loss_fn(params):
                 out, new_bs = self._apply(params, state.batch_stats, imgs,
@@ -336,12 +355,13 @@ class Engine:
 
     def _train_eval_impl(self, state: TrainState, t_images, t_masks, t_cls, t_lint,
                          perm, key, v_images, v_masks, v_cls, v_lint,
-                         step_valid=None):
+                         step_valid=None, aug_packed=None):
         """Train epoch + validation pass in ONE device program: halves the
         per-epoch dispatch/fetch round-trips (significant on remote-tunnel
         runtimes) and lets XLA overlap the tail of training with eval setup."""
         state, tmetrics = self._train_epoch_impl(
-            state, t_images, t_masks, t_cls, t_lint, perm, key, step_valid)
+            state, t_images, t_masks, t_cls, t_lint, perm, key, step_valid,
+            aug_packed)
         vmetrics = self._eval_epoch_impl(state, v_images, v_masks, v_cls, v_lint)
         return state, tmetrics, vmetrics
 
@@ -368,7 +388,8 @@ class Engine:
         sv = None if step_valid is None else jnp.asarray(step_valid)
         state, metrics = self._train_epoch(
             state, data["images"], data["masks"], data["cls_targets"],
-            data["labels_int"], jnp.asarray(perm), key, sv)
+            data["labels_int"], jnp.asarray(perm), key, sv,
+            data.get("aug_packed"))
         return state, self._fetch_metrics(metrics)
 
     def eval_epoch(self, state: TrainState, data: Dict[str, Any]) -> Dict[str, float]:
@@ -388,7 +409,8 @@ class Engine:
             train_data["cls_targets"], train_data["labels_int"],
             jnp.asarray(perm), key,
             val_data["images"], val_data["masks"],
-            val_data["cls_targets"], val_data["labels_int"], sv)
+            val_data["cls_targets"], val_data["labels_int"], sv,
+            train_data.get("aug_packed"))
         both = {f"t_{k}": v for k, v in tm.items()}
         both.update({f"v_{k}": v for k, v in vm.items()})
         fetched = self._fetch_metrics(both)
@@ -461,10 +483,25 @@ class Engine:
             return np.concatenate([a] + [a] * reps, axis=0)[:pad_to]
 
         dt = self._compute_dt
-        return {
+        data = {
             "images": jnp.asarray(_pad(ds.images), self._storage_dtype(ds.images, dt)),
             "masks": jnp.asarray(_pad(ds.masks), self._storage_dtype(ds.masks, dt)),
             "cls_targets": jnp.asarray(
                 _pad(make_cls_targets(ds.labels, self.cfg.n_classes))),
             "labels_int": jnp.asarray(_pad(ds.labels)),
         }
+        if self.cfg.use_transforms and self.cfg.fast_augmentation:
+            from multi_task_breast_cancer_tpu.ops.fast_augment import pack_bf16x2
+            h, w = ds.images.shape[1], ds.images.shape[2]
+            if self.cfg.compute_dtype != "bfloat16":
+                raise ValueError("fast_augmentation requires "
+                                 "training.compute_dtype: bfloat16 (the packed "
+                                 "planes hold two bf16 channels per int32 lane)")
+            if ds.images.shape[-1] != 1 or ds.masks.shape[-1] != 1 or h != w:
+                raise ValueError(
+                    "fast_augmentation supports square images with exactly one "
+                    "image channel and one mask channel (no augment channels); "
+                    f"got images {ds.images.shape}, masks {ds.masks.shape}")
+            stack = np.concatenate([_pad(ds.masks), _pad(ds.images)], axis=-1)
+            data["aug_packed"] = pack_bf16x2(jnp.asarray(stack, jnp.bfloat16))
+        return data

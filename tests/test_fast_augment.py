@@ -1,0 +1,185 @@
+"""Fast-augmentation (3-shear Pallas) correctness:
+
+1. the fixed-pipeline canonicalization is BIT-EXACT vs the sequential op list
+   (hflip → vflip → quadrant + 3-shear) for all 16 dihedral cases × angles;
+2. the Pallas kernel (interpret mode) equals the pure-jnp executor;
+3. pack/unpack round-trips bf16 exactly;
+4. semantics vs the exact torchvision-parity rotation: same flip/angle draws,
+   resampling differs only at boundary pixels (mask Dice ≥ 0.97).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multi_task_breast_cancer_tpu.ops import fast_augment as FA
+
+W = 64
+C_MID = (W - 1) / 2.0
+
+
+# ---- sequential reference (ground-truth semantics of the fast path) --------
+
+def _sx(img, a):
+    out = np.zeros_like(img)
+    for y in range(img.shape[0]):
+        s = int(np.round(a * (y - C_MID)))
+        xs = np.arange(img.shape[1]) - s
+        ok = (xs >= 0) & (xs < img.shape[1])
+        out[y, ok] = img[y, xs[ok]]
+    return out
+
+
+def _sequential(img, fh, fv, angle):
+    out = img
+    if fh:
+        out = img[:, ::-1].copy()
+    if fv:
+        out = out[::-1, :].copy()
+    ang = ((angle + 180.0) % 360.0) - 180.0
+    q = int(np.round(ang / 90.0)) % 4
+    phi = ang - 90.0 * int(np.round(ang / 90.0))
+    a = np.tan(np.deg2rad(phi) / 2.0)
+    b = -np.sin(np.deg2rad(phi))
+    out = _sx(out, a)
+    out = _sx(out.T.copy(), b).T.copy()
+    out = _sx(out, a)
+    for _ in range(q):
+        out = out[:, ::-1].T.copy()  # ccw90 = lane-reverse then transpose
+    return out
+
+
+def test_pipeline_params_bit_exact_vs_sequential():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 1 << 30, (W, W)).astype(np.int32)
+    angles = list(rng.uniform(-360, 360, 6)) + [0.0, 90.0, -135.0, 181.0]
+    for fh in (False, True):
+        for fv in (False, True):
+            for ang in angles:
+                idx, t1 = FA.pipeline_params_from_draws(
+                    jnp.asarray([fh]), jnp.asarray([fv]),
+                    jnp.asarray([ang], jnp.float32), W)
+                got = np.asarray(FA.reference_pipeline(
+                    jnp.asarray(img)[None], idx, t1))[0]
+                want = _sequential(img, fh, fv, ang)
+                np.testing.assert_array_equal(got, want,
+                                              err_msg=f"fh={fh} fv={fv} ang={ang}")
+
+
+def test_pallas_interpret_matches_reference():
+    rng = np.random.default_rng(1)
+    n, b = 8, 6
+    packed = jnp.asarray(rng.integers(0, 1 << 30, (n, W, W)), jnp.int32)
+    batch_idx = jnp.asarray(rng.integers(0, n, b), jnp.int32)
+    idx, t1 = FA.build_pipeline_params(jax.random.PRNGKey(3), b, W,
+                                       p_hflip=0.5, p_vflip=0.5,
+                                       max_angle=360.0)
+    ref = FA.reference_pipeline(jnp.take(packed, batch_idx, axis=0), idx, t1)
+    pal = FA.pallas_pipeline(packed, batch_idx, idx, t1, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(pal))
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(2)
+    stack = jnp.asarray(rng.standard_normal((4, W, W, 2)), jnp.bfloat16)
+    out = FA.unpack_bf16x2(FA.pack_bf16x2(stack))
+    np.testing.assert_array_equal(np.asarray(stack, np.float32),
+                                  np.asarray(out, np.float32))
+
+
+def test_fast_vs_exact_semantics_mask_dice():
+    """Same key → same flips/angle draws; the only difference is rotation
+    resampling. On an elliptical mask the two must agree to Dice ≥ 0.97."""
+    from multi_task_breast_cancer_tpu.data.augment import joint_transform_stack_batch
+
+    yy, xx = np.mgrid[0:W, 0:W]
+    mask = ((((yy - 36) / 13.0) ** 2 + ((xx - 24) / 17.0) ** 2) <= 1)
+    img = np.where(mask, 60.0, 140.0)
+    stack = np.stack([mask.astype(np.float32), img], axis=-1)[None]  # (1,W,W,2)
+    stack_b = jnp.asarray(np.repeat(stack, 16, axis=0), jnp.bfloat16)
+    packed = FA.pack_bf16x2(stack_b)
+
+    key = jax.random.PRNGKey(11)
+    exact = joint_transform_stack_batch(
+        stack_b.astype(jnp.float32), jax.random.split(key, 16))
+    fast = FA.fast_joint_transform(packed, jnp.arange(16), key,
+                                   use_pallas=False)
+    em = np.asarray(exact[..., 0] > 0.5)
+    fm = np.asarray(fast[..., 0].astype(np.float32) > 0.5)
+    for i in range(16):
+        inter = np.logical_and(em[i], fm[i]).sum()
+        denom = em[i].sum() + fm[i].sum()
+        if denom == 0:
+            continue  # both rotated fully out of frame
+        dice = 2.0 * inter / denom
+        assert dice >= 0.97, (i, dice)
+
+
+def test_fast_flip_rates():
+    """Flip draws use the exact path's key-split scheme → rates ~ p."""
+    rng = np.random.default_rng(4)
+    img = np.zeros((W, W, 2), np.float32)
+    img[2, 3, :] = 1.0
+    packed = FA.pack_bf16x2(jnp.asarray(img, jnp.bfloat16)[None])
+    n, h_flips = 200, 0
+    for i in range(n):
+        out = FA.fast_joint_transform(
+            packed, jnp.zeros(1, jnp.int32), jax.random.PRNGKey(i),
+            p_hflip=0.5, p_vflip=0.0, max_angle=0.0, use_pallas=False)
+        o = np.asarray(out[0, :, :, 0].astype(np.float32))
+        if o.max() > 0 and np.unravel_index(o.argmax(), o.shape)[1] == W - 4:
+            h_flips += 1
+    assert 0.35 < h_flips / n < 0.65
+
+
+def test_fast_augmentation_through_driver(tmp_path):
+    """training.fast_augmentation runs end-to-end under the full driver (the
+    kernel auto-falls back to the jnp executor off-TPU) and produces the
+    normal artifact tree."""
+    from pathlib import Path
+    from multi_task_breast_cancer_tpu.config import (
+        Config, DataConfig, ModelConfig, OptimizerConfig, TrainingConfig)
+    from multi_task_breast_cancer_tpu.data import synthetic
+    from multi_task_breast_cancer_tpu.train.driver import run_experiment
+
+    root = synthetic.make_preprocessed_busi(tmp_path / "busi", n_per_class=8,
+                                            size=32)
+    cfg = Config(
+        model=ModelConfig(architecture="Multi_BTSUNet", width=4,
+                          deep_supervision=False),
+        optimizer=OptimizerConfig(opt="Adam", lr=1e-3, scheduler="plateau"),
+        training=TrainingConfig(seed=1993, epochs=1, CV=2,
+                                compute_dtype="bfloat16",
+                                fast_augmentation=True, data_parallel=False),
+        data=DataConfig(input_img=str(root), batch_size=4, oversampling=False),
+    )
+    run = Path(run_experiment(cfg, task="multitask", mode="CV",
+                              run_root=str(tmp_path / "runs")))
+    assert (run / "fold_1" / "results_segmentation.csv").is_file()
+    import pandas as pd
+    m = pd.read_csv(run / "fold_0" / "metrics.csv")
+    assert np.isfinite(m["Train_loss"]).all()
+
+
+def test_fast_augmentation_config_validation():
+    """fast_augmentation demands bf16 compute and 1+1 channels."""
+    from multi_task_breast_cancer_tpu.data.dataset import ArrayDataset
+    from multi_task_breast_cancer_tpu.models import init_segmentation_model
+    from multi_task_breast_cancer_tpu.train.loop import Engine, EngineConfig
+    from multi_task_breast_cancer_tpu.train.optim import init_optimizer
+
+    rng = np.random.default_rng(0)
+    ds = ArrayDataset(images=rng.integers(0, 256, (4, 32, 32, 1)).astype(np.float32),
+                      masks=(rng.random((4, 32, 32, 1)) > 0.7).astype(np.float32),
+                      labels=rng.integers(0, 3, 4).astype(np.int32),
+                      patient_ids=np.arange(4), class_names=["benign"] * 4,
+                      tumor_pixels=np.zeros(4, np.int64))
+    model = init_segmentation_model("BTSUNet", width=4)
+    tx = init_optimizer("Adam", 1e-3)
+    eng = Engine(model, tx, EngineConfig(task="segmentation", batch_size=2,
+                                         fast_augmentation=True,
+                                         compute_dtype="float32"))
+    with pytest.raises(ValueError, match="bfloat16"):
+        eng.device_data(ds)

@@ -40,6 +40,37 @@ def data_mesh(n_devices: Optional[int] = None) -> Optional[Mesh]:
     return Mesh(np.array(devs), ("data",))
 
 
+def data_space_mesh(n_space: int = 1, n_devices: Optional[int] = None
+                    ) -> Optional[Mesh]:
+    """2-D ``(data × space)`` mesh: batches shard over ``'data'`` and image
+    ROWS (axis 1 of NHWC) over ``'space'``.
+
+    Spatial partitioning is the standard TPU recipe for images whose
+    activations do not fit one chip's HBM: with the H axis of every batch
+    constrained to ``P('data', 'space')``, XLA's GSPMD partitioner keeps the
+    convolutions spatially sharded and inserts the halo exchanges
+    (``collective-permute`` of the ``(k-1)/2`` boundary rows between
+    neighbouring shards) automatically — no hand-written collectives. Each
+    device then holds ``1/n_space`` of every activation plane, so the
+    trainable resolution scales with the mesh instead of the chip.
+
+    ``n_space == 1`` degrades to the plain 1-D data mesh. The reference has
+    no equivalent (strictly single-device, ``experiment_init.py:339-347``);
+    this is a TPU-native capability addition.
+    """
+    if n_space <= 1:
+        return data_mesh(n_devices)
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    if len(devs) % n_space:
+        raise ValueError(
+            f"spatial_partitions={n_space} must divide the device count "
+            f"({len(devs)})")
+    grid = np.array(devs).reshape(len(devs) // n_space, n_space)
+    return Mesh(grid, ("data", "space"))
+
+
 def shard_batch(mesh: Mesh, *arrays):
     """Place batch arrays with their leading axis sharded over the mesh."""
     spec = NamedSharding(mesh, P("data"))

@@ -43,7 +43,7 @@ from multi_task_breast_cancer_tpu.ops.metrics import (
     dice_score,
     multiclass_classification_metrics,
 )
-from multi_task_breast_cancer_tpu.parallel.mesh import data_mesh
+from multi_task_breast_cancer_tpu.parallel.mesh import data_space_mesh
 from multi_task_breast_cancer_tpu.train import inference as I
 from multi_task_breast_cancer_tpu.train.checkpoint import (
     load_pretrained_model,
@@ -392,10 +392,11 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
             f"model.sequences + active augmentation channels = {expected_ch} "
             f"but the dataset provides {actual_ch} input channel(s) "
             f"(the reference's conv would fail with this mismatch)")
-    mesh = data_mesh() if cfg.training.data_parallel else None
+    mesh = (data_space_mesh(cfg.training.spatial_partitions)
+            if cfg.training.data_parallel else None)
     if mesh is not None:
-        logging.info("Data parallelism over %d devices (mesh axes %s)",
-                     mesh.devices.size, mesh.axis_names)
+        logging.info("Parallelism over %d devices (mesh axes %s, shape %s)",
+                     mesh.devices.size, mesh.axis_names, mesh.devices.shape)
 
     header = METRIC_HEADERS[(task, mode)]
 

@@ -105,6 +105,13 @@ class Engine:
         self.tx = tx
         self.cfg = cfg
         self.mesh = mesh
+        if (mesh is not None and "space" in mesh.axis_names
+                and cfg.use_transforms and cfg.fast_augmentation):
+            raise ValueError(
+                "fast_augmentation processes whole image planes in one "
+                "core's VMEM and cannot run spatially partitioned; disable "
+                "training.fast_augmentation or set "
+                "training.spatial_partitions: 1")
         if cfg.seg_criterion == "DICE":
             # custom-VJP fused dice: identical values/grads (tests), no
             # spatial tape — only two scalars per plane survive to backward
@@ -209,10 +216,26 @@ class Engine:
     # ------------------------------------------------------------------
 
     def _shard_batch(self, *arrays):
+        """Anchor batch shardings for GSPMD propagation.
+
+        1-D ``('data',)`` mesh: every array shards its leading (batch) axis.
+        2-D ``('data', 'space')`` mesh (spatial partitioning): image-shaped
+        arrays additionally shard their H axis over ``'space'`` — GSPMD keeps
+        the conv stack spatially partitioned and inserts the halo exchanges
+        itself (proven from the compiled HLO in
+        ``tests/test_spatial.py``); per-sample reductions (instance-norm
+        stats, dice plane sums, global pooling) become cross-'space'
+        all-reduces. Vectors (labels/targets) stay sharded over 'data' only.
+        """
         if self.mesh is None:
             return arrays
-        spec = NamedSharding(self.mesh, P("data"))
-        return tuple(jax.lax.with_sharding_constraint(a, spec) for a in arrays)
+        spatial = "space" in self.mesh.axis_names
+        out = []
+        for a in arrays:
+            spec = P("data", "space") if (spatial and a.ndim >= 3) else P("data")
+            out.append(jax.lax.with_sharding_constraint(
+                a, NamedSharding(self.mesh, spec)))
+        return tuple(out)
 
     @property
     def _compute_dt(self):

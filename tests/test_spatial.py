@@ -119,6 +119,43 @@ def test_spatial_program_exchanges_halos_and_splits_flops():
     assert ratio < 0.35, f"per-device FLOPs ratio {ratio:.3f} — not partitioned"
 
 
+@pytest.mark.slow
+def test_spatial_scales_down_per_device_activation_memory():
+    """The point of spatial partitioning: per-device activation (temp) memory
+    must scale ~1/n_space so resolutions that blow one chip's HBM fit a mesh.
+    Compile-only at 256²; measured here: 36.2 MB → 5.2 MB (0.14×) with
+    8-way row sharding."""
+    H, B = 256, 2
+    rng = np.random.default_rng(0)
+    ds = ArrayDataset(
+        images=rng.integers(0, 256, (B, H, H, 1)).astype(np.float32),
+        masks=(rng.random((B, H, H, 1)) > 0.7).astype(np.float32),
+        labels=rng.integers(0, 3, B).astype(np.int32),
+        patient_ids=np.arange(B), class_names=["x"] * B,
+        tumor_pixels=np.zeros(B, np.int64))
+    temp = {}
+    for name, mesh in (("single", None), ("spatial", data_space_mesh(8))):
+        model = init_segmentation_model("BTSUNet", width=4, deep_supervision=False)
+        tx = init_optimizer("Adam", 1e-3)
+        engine = Engine(model, tx,
+                        EngineConfig(task="segmentation", n_classes=3,
+                                     batch_size=B, use_transforms=False),
+                        mesh=mesh)
+        state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                                   jnp.zeros((1, H, H, 1)))
+        data = engine.device_data(ds)
+        perm = plan_epoch_indices(B, B, np.random.default_rng(1))
+        compiled = engine._train_epoch.lower(
+            state, data["images"], data["masks"], data["cls_targets"],
+            data["labels_int"], jnp.asarray(perm), jax.random.PRNGKey(1)).compile()
+        temp[name] = compiled.memory_analysis().temp_size_in_bytes
+
+    assert temp["single"] > 0
+    ratio = temp["spatial"] / temp["single"]
+    assert ratio < 0.3, (f"per-device temp memory ratio {ratio:.3f} — "
+                         f"activations not spatially split")
+
+
 def test_config_spatial_partitions_roundtrip(tmp_path):
     from multi_task_breast_cancer_tpu.config import load_config
     cfg_file = tmp_path / "c.yaml"

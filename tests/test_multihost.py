@@ -59,6 +59,40 @@ expected = 2.0 * float(np.mean(x_global ** 2))
 got = float(jax.device_get(g)[0])
 assert abs(got - expected) < 1e-5, (got, expected)
 print(f"OK proc={proc_id} grad={got}", flush=True)
+
+# ---- phase 2: spatial partitioning ACROSS processes ----------------------
+# (1 data x 4 space) mesh: the 'space' axis spans both hosts, so the conv
+# halo exchange between row shards 1|2 must cross the process boundary
+# (Gloo here; DCN on a real multi-host pod).
+from multi_task_breast_cancer_tpu.parallel.mesh import data_space_mesh
+import jax.lax as lax
+
+smesh = data_space_mesh(4)
+assert smesh.devices.shape == (1, 4)
+B, H, W = 1, 16, 8
+rng = np.random.default_rng(0)
+img = rng.standard_normal((B, H, W, 1)).astype(np.float32)
+k = rng.standard_normal((3, 3, 1, 1)).astype(np.float32)
+sspec = NamedSharding(smesh, P(None, "space"))
+xs = jax.make_array_from_process_local_data(
+    sspec, img[:, proc_id * 8:proc_id * 8 + 8], (B, H, W, 1))
+
+def conv_sharded(x):
+    y = lax.conv_general_dilated(x, jnp.asarray(k), (1, 1), "SAME",
+                                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return jax.lax.with_sharding_constraint(y, sspec)
+
+f = jax.jit(conv_sharded, out_shardings=NamedSharding(smesh, P()))
+txt = f.lower(xs).compile().as_text()
+assert "collective-permute" in txt, "no cross-shard conv halo exchange"
+y = np.asarray(jax.device_get(f(xs)))[0, :, :, 0]
+
+# expected: 3x3 SAME correlation computed with plain numpy
+pad = np.pad(img[0, :, :, 0], 1)
+exp = sum(k[di, dj, 0, 0] * pad[di:di + H, dj:dj + W]
+          for di in range(3) for dj in range(3))
+assert np.allclose(y, exp, atol=1e-5), np.abs(y - exp).max()
+print(f"OK-SPATIAL proc={proc_id} halo-exchange-across-hosts", flush=True)
 """
 
 
@@ -79,6 +113,7 @@ def test_two_process_distributed_training_step(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert f"OK proc={i}" in out
+        assert f"OK-SPATIAL proc={i}" in out
 
 
 def test_initialize_noop_on_single_host(monkeypatch):

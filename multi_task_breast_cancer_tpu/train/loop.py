@@ -497,7 +497,15 @@ class Engine:
 
         ``pad_to`` wrap-pads the sample axis to a cross-fold maximum so every
         fold's arrays share one shape (oversampling varies fold sizes); padded
-        rows are never gathered — epoch index plans only reference real rows."""
+        rows are never gathered — epoch index plans only reference real rows.
+
+        Under a mesh the fold arrays are placed REPLICATED across all devices
+        up front (the compiled epoch's preferred input sharding — verified
+        via ``compiled.input_shardings``); left on the default device they
+        would be re-broadcast from device 0 on EVERY epoch call on a real
+        multi-chip mesh. A ~450-image fold is small; replication is the right
+        trade (per-step row gathers then run fully parallel with no
+        cross-device traffic)."""
         def _pad(a: np.ndarray) -> np.ndarray:
             n = a.shape[0]
             if pad_to is None or n >= pad_to:
@@ -527,4 +535,7 @@ class Engine:
                     f"got images {ds.images.shape}, masks {ds.masks.shape}")
             stack = np.concatenate([_pad(ds.masks), _pad(ds.images)], axis=-1)
             data["aug_packed"] = pack_bf16x2(jnp.asarray(stack, jnp.bfloat16))
+        if self.mesh is not None:
+            from multi_task_breast_cancer_tpu.parallel.mesh import replicate_to_mesh
+            data = replicate_to_mesh(self.mesh, data)
         return data

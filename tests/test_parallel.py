@@ -112,6 +112,24 @@ def test_dp_batch_smaller_than_mesh():
         assert np.isfinite(m["loss"])
 
 
+def test_fold_data_is_replicated_over_the_mesh():
+    """Under a mesh, device_data must place fold arrays replicated across all
+    devices — the compiled epoch's preferred input sharding (verified via
+    input_shardings). Default single-device placement would re-broadcast the
+    whole fold from device 0 on every epoch call on a real pod."""
+    ds = _dataset()
+    model = init_segmentation_model("BTSUNet", width=4, deep_supervision=False)
+    tx = init_optimizer("Adam", 1e-3)
+    engine = Engine(model, tx,
+                    EngineConfig(task="segmentation", n_classes=3,
+                                 batch_size=8, use_transforms=False),
+                    mesh=data_mesh())
+    data = engine.device_data(ds)
+    for name in ("images", "masks", "cls_targets", "labels_int"):
+        sh = data[name].sharding
+        assert sh.is_fully_replicated and len(sh.device_set) == 8, (name, sh)
+
+
 def test_compiled_program_is_actually_partitioned():
     """A reshard-to-one-device regression would still pass the numeric
     equality tests above — prove partitioning from the compiled artifact:

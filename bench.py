@@ -155,6 +155,31 @@ def main() -> None:
     except Exception as exc:  # keep the headline bench robust
         fast_block = {"unavailable": str(exc)[:200]}
 
+    # inference (serving path): batched multitask forward on the already-
+    # warmed chip. Dispatches queue asynchronously; ONE value fetch at the
+    # end forces the in-order queue (block_until_ready does not materialise
+    # on the axon tunnel runtime).
+    inf_block = {}
+    try:
+        Binf = 512
+        x_inf = jnp.asarray(ds.images[:Binf], jnp.bfloat16)
+        out = engine._predict(state, x_inf)
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0][:1])  # warm/compile
+        n_iters = 10
+        t0 = time.perf_counter()
+        for _i in range(n_iters):
+            out = engine._predict(state, x_inf)
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0][:1])
+        inf_dt = time.perf_counter() - t0
+        inf_block = {
+            "imgs_per_sec_per_chip": round(n_iters * Binf / inf_dt / n_devices, 1),
+            "batch": Binf,
+            "note": "full multitask forward incl. deep-supervision heads, "
+                    "bf16, warm chip",
+        }
+    except Exception as exc:
+        inf_block = {"unavailable": str(exc)[:200]}
+
     # roofline: XLA's own cost model for the compiled epoch program
     roofline = {}
     try:
@@ -202,6 +227,7 @@ def main() -> None:
         "roofline": roofline,
         "baseline": baseline,
         "fast_augmentation": fast_block,
+        "inference": inf_block,
         "ramp_windows": ramp_windows,
         # False = the 5% window-to-window stability criterion was never met;
         # the reported value may then be below true steady state

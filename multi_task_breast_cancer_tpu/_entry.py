@@ -51,5 +51,8 @@ def run_entry(task: str, mode: str) -> str:
         Path(config_path).write_text(DEFAULT_CONFIG_YAML)
 
     cfg = load_config(config_path)
+    # Non-coordinator processes of a multi-host run write their (redundant)
+    # host-side artifacts to scratch; process 0 owns the real run dir.
+    run_root = multihost.coordinator_run_root(args.run_root)
     return run_experiment(cfg, task=task, mode=mode, config_src=config_path,
-                          run_root=args.run_root, resume_dir=args.resume)
+                          run_root=run_root, resume_dir=args.resume)

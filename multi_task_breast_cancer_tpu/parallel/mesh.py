@@ -79,6 +79,19 @@ def shard_batch(mesh: Mesh, *arrays):
 
 
 def replicate_to_mesh(mesh: Mesh, tree):
-    """Fully replicate a pytree (params/opt state) over the mesh."""
+    """Fully replicate a pytree (params/opt state/fold data) over the mesh.
+
+    Multi-process safe: a process-locally-initialised ``jax.Array`` cannot be
+    re-placed onto a sharding spanning other processes directly, so leaves
+    take a host round-trip first (every process holds the same value — state
+    inits and fold loads are deterministic per seed). Host numpy leaves go
+    straight through ``device_put``."""
     spec = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, spec), tree)
+    multiproc = jax.process_count() > 1
+
+    def put(a):
+        if multiproc and isinstance(a, jax.Array):
+            a = np.asarray(a)
+        return jax.device_put(a, spec)
+
+    return jax.tree_util.tree_map(put, tree)

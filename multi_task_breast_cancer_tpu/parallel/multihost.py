@@ -52,6 +52,27 @@ def initialize(coordinator_address: Optional[str] = None,
         return False
 
 
+def coordinator_run_root(run_root: str) -> str:
+    """Artifact root for this process.
+
+    Process 0 keeps the user's ``run_root``. Every other process gets a
+    scratch dir: non-coordinator processes MUST still execute the whole
+    driver (each process has to dispatch every collective program), but
+    their host-side artifact writes are redundant copies that would clobber
+    process 0's on a shared filesystem."""
+    try:
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            import tempfile
+            scratch = tempfile.mkdtemp(
+                prefix=f"mtbc_proc{jax.process_index()}_artifacts_")
+            logging.info("non-coordinator process %d: artifacts redirected "
+                         "to %s", jax.process_index(), scratch)
+            return scratch
+    except Exception:  # pragma: no cover - backend not initialised
+        pass
+    return run_root
+
+
 def process_local_slice(n_global: int) -> slice:
     """The half-open index range of a length-``n_global`` global batch owned by
     this process (equal host-local shards)."""

@@ -43,7 +43,10 @@ from multi_task_breast_cancer_tpu.ops.metrics import (
     dice_score,
     multiclass_classification_metrics,
 )
-from multi_task_breast_cancer_tpu.parallel.mesh import data_space_mesh
+from multi_task_breast_cancer_tpu.parallel.mesh import (
+    data_space_mesh,
+    replicate_to_mesh,
+)
 from multi_task_breast_cancer_tpu.train import inference as I
 from multi_task_breast_cancer_tpu.train.checkpoint import (
     load_pretrained_model,
@@ -455,6 +458,12 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
         sample = jnp.zeros((1,) + fold.train.images.shape[1:], jnp.float32)
         fold_key = jax.random.fold_in(root_key, n)
         state = create_train_state(model, tx, fold_key, sample)
+        if mesh is not None:
+            # pre-place the fresh state replicated over the mesh: matches the
+            # compiled epoch's input shardings (no first-call reshard) and is
+            # REQUIRED under multi-host, where the locally-initialised state
+            # must become a global array before entering the global program
+            state = replicate_to_mesh(mesh, state)
         save_model_summary(model, state.params, Path(run_path))
 
         scheduler = init_lr_scheduler(

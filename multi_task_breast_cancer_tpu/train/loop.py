@@ -451,6 +451,12 @@ class Engine:
         the outputs back, so per-fold test-set size differences reuse one
         compiled forward program."""
         images = jnp.asarray(images)
+        if self.mesh is not None and not isinstance(images.sharding, NamedSharding):
+            # host/test images become global replicated arrays so the forward
+            # can mix them with the (global) trained state under a mesh —
+            # required on multi-host, free on a single host
+            from multi_task_breast_cancer_tpu.parallel.mesh import replicate_to_mesh
+            images = replicate_to_mesh(self.mesh, images)
         n = images.shape[0]
         if pad_to is not None and n < pad_to:
             reps = -(-(pad_to - n) // n)

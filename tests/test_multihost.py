@@ -116,6 +116,73 @@ def test_two_process_distributed_training_step(tmp_path):
         assert f"OK-SPATIAL proc={i}" in out
 
 
+@pytest.mark.slow
+def test_two_process_full_driver_run(tmp_path):
+    """The COMPLETE training CLI under a real 2-process ``jax.distributed``
+    run (4 global CPU devices): both processes execute the whole driver
+    (every collective program must be dispatched by every process); only
+    process 0 writes the user-visible run dir — the other is redirected to
+    scratch (``multihost.coordinator_run_root``). Asserts the standard
+    artifact contract comes out of process 0 exactly once."""
+    import pandas as pd
+
+    from multi_task_breast_cancer_tpu.data import synthetic
+
+    root = synthetic.make_preprocessed_busi(tmp_path / "busi",
+                                            n_per_class=8, size=32)
+    cfg = tmp_path / "config.yaml"
+    cfg.write_text(f"""
+model:
+  architecture: Multi_BTSUNet
+  sequences: 1
+  width: 4
+  deep_supervision: False
+optimizer:
+  opt: Adam
+  lr: 0.001
+  scheduler: plateau
+training:
+  seed: 1993
+  epochs: 1
+  CV: 2
+data:
+  input_img: {root}
+  batch_size: 4
+  classes: [benign, malignant, normal]
+  oversampling: False
+""")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    run_root = tmp_path / "runs"
+    env = {"PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": "/root",
+           "PYTHONPATH": str(Path(__file__).resolve().parent.parent),
+           "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "multi_task_breast_cancer_tpu.training_multitask",
+         "--config", str(cfg), "--run-root", str(run_root),
+         "--coordinator", f"localhost:{port}",
+         "--num-processes", "2", "--process-id", str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for i in range(2)]
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
+        assert "Total time for all of the folds" in out
+
+    # exactly ONE user-visible run dir, with the full artifact contract
+    run_dirs = [d for d in run_root.iterdir() if d.is_dir()]
+    assert len(run_dirs) == 1, run_dirs
+    run = run_dirs[0]
+    for n in (0, 1):
+        m = pd.read_csv(run / f"fold_{n}" / "metrics.csv")
+        assert len(m) == 1
+        assert m.notna().all().all()
+        assert (run / f"fold_{n}" / "results_segmentation.csv").exists()
+        assert (run / f"fold_{n}" / "results_classification.csv").exists()
+
+
 def test_initialize_noop_on_single_host(monkeypatch):
     """No coordinator + no pod env ⇒ returns False with zero side effects."""
     from multi_task_breast_cancer_tpu.parallel import multihost

@@ -54,5 +54,14 @@ def run_entry(task: str, mode: str) -> str:
     # Non-coordinator processes of a multi-host run write their (redundant)
     # host-side artifacts to scratch; process 0 owns the real run dir.
     run_root = multihost.coordinator_run_root(args.run_root)
+    resume = args.resume
+    if resume is not None and run_root != args.run_root:
+        # resumed runs write INTO the resume dir — give non-coordinator
+        # processes a private copy so they replay the identical state without
+        # clobbering process 0's (shared-filesystem) run dir
+        import shutil
+        dst = str(Path(run_root) / Path(resume.rstrip("/")).name)
+        shutil.copytree(resume, dst)
+        resume = dst
     return run_experiment(cfg, task=task, mode=mode, config_src=config_path,
-                          run_root=run_root, resume_dir=args.resume)
+                          run_root=run_root, resume_dir=resume)

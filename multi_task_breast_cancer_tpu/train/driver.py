@@ -503,6 +503,10 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
             # Re-running the remaining epochs reproduces the uninterrupted
             # trajectory exactly (same state + same permutations).
             state, ckpt_epoch, _, rstate = restored
+            if mesh is not None:
+                # checkpointed arrays load host-side; re-place them as global
+                # replicated arrays (required under multi-host, free otherwise)
+                state = replicate_to_mesh(mesh, state)
             resume_epoch = ckpt_epoch + 1
             resume_state = rstate
             scheduler.load_state_dict(rstate)

@@ -182,6 +182,26 @@ data:
         assert (run / f"fold_{n}" / "results_segmentation.csv").exists()
         assert (run / f"fold_{n}" / "results_classification.csv").exists()
 
+    # --resume under 2 processes: non-coordinator resumes from a private
+    # scratch COPY (a resumed run writes into its run dir — without the copy
+    # it would clobber process 0's on a shared filesystem). Resuming the
+    # completed run skips all folds and regenerates end-of-run artifacts.
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port2 = s.getsockname()[1]
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "multi_task_breast_cancer_tpu.training_multitask",
+         "--resume", str(run), "--run-root", str(run_root),
+         "--coordinator", f"localhost:{port2}",
+         "--num-processes", "2", "--process-id", str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for i in range(2)]
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"resume proc {i} failed:\n{out[-4000:]}"
+    assert len([d for d in run_root.iterdir() if d.is_dir()]) == 1
+    assert (run / "results_segmentation.xlsx").exists()
+
 
 def test_initialize_noop_on_single_host(monkeypatch):
     """No coordinator + no pod env ⇒ returns False with zero side effects."""

@@ -16,6 +16,7 @@ the extra fields ground the claim:
 from __future__ import annotations
 
 import json
+import os
 import time
 from pathlib import Path
 
@@ -44,9 +45,14 @@ def main() -> None:
     from multi_task_breast_cancer_tpu.utils.miscellany import enable_compilation_cache
     enable_compilation_cache()
     n_devices = jax.device_count()
-    batch_per_chip = 256  # measured sweet spot on TPU v5e (1292 imgs/s/chip)
+    # Defaults = the headline 128² config; MTBC_BENCH_SIZE=256 (with the
+    # measured 256² sweet spot B=64) reproduces the high-resolution anchor
+    # recorded in PARITY.md. First compile of a new size is slow (remote
+    # compile service, ~15-20 min at 256²); cached afterwards.
+    H = int(os.environ.get("MTBC_BENCH_SIZE", "128"))
+    default_b = 256 if H <= 128 else 64  # measured v5e sweet spots
+    batch_per_chip = int(os.environ.get("MTBC_BENCH_BATCH", str(default_b)))
     batch = batch_per_chip * n_devices
-    H = 128
     n = max(4 * batch, 1024)
 
     rng = np.random.default_rng(0)
@@ -218,7 +224,7 @@ def main() -> None:
             imgs_per_sec_per_chip / tb["torch_cpu_imgs_per_sec"], 1)
 
     print(json.dumps({
-        "metric": "train imgs/sec/chip (MTnnUNet multitask, 128x128, bf16)",
+        "metric": f"train imgs/sec/chip (MTnnUNet multitask, {H}x{H}, bf16)",
         "value": round(imgs_per_sec_per_chip, 2),
         "unit": "imgs/sec/chip",
         # vs the ASSUMED A100 anchor above (not a measurement; see baseline)

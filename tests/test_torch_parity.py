@@ -15,18 +15,22 @@ reading, these tests prove it two ways:
    image — and are excluded; their Flax twins are validated by shape tests and
    the MONAI-constant unit tests instead.
 
-2. **Weight-transplant forward parity**: map a torch ``state_dict`` into the
-   Flax pytree (OIHW→HWIO transposes; transposed convs additionally flip the
-   spatial taps; Linear→Dense transposes) and assert forward outputs agree to
-   f32 tolerance on a fixed input.  This conclusively validates padding, eps,
-   LeakyReLU slope, upsample semantics, concat order, and head wiring that
-   shape + learnability tests cannot distinguish.
+2. **Weight-transplant forward parity** through the PUBLIC importer
+   (``models/torch_import.convert_state_dict`` — the migration path for users
+   carrying reference-trained checkpoints over): map a torch ``state_dict``
+   into the Flax pytree and assert forward outputs agree to f32 tolerance on a
+   fixed input.  This conclusively validates padding, eps, LeakyReLU slope,
+   upsample semantics, concat order, and head wiring that shape + learnability
+   tests cannot distinguish — for EVERY architecture the importer supports.
 
 ResidualUNet quirk handled explicitly: the reference's ``decoder`` owns three
 1×1 skip-merge convs (``ResidualUNet.py:217-253``) that its ``forward`` never
 calls (skips only exist in the unused ``seg_path`` variant ``:296-335``), so
 the torch count includes dead parameters; the sweep asserts equality after
-subtracting exactly those.
+subtracting exactly those.  Its forward-parity test additionally patches
+``F.dropout`` to identity on the torch side: the reference calls it without a
+``training`` flag so it stays stochastic even under ``eval()``
+(``ResidualUNet.py:61,139,144`` — documented deviation).
 """
 
 from __future__ import annotations
@@ -41,6 +45,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from multi_task_breast_cancer_tpu.models.torch_import import convert_state_dict
+
 REF = Path("/root/reference/src")
 
 pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference tree not present")
@@ -49,7 +55,7 @@ torch = pytest.importorskip("torch")
 
 
 # ---------------------------------------------------------------------------
-# Reference import + weight-mapping helpers
+# Reference import helpers
 # ---------------------------------------------------------------------------
 
 _REF_CACHE: dict = {}
@@ -71,72 +77,12 @@ def _np(t) -> np.ndarray:
     return t.detach().cpu().numpy()
 
 
-def t2f_conv(w) -> jnp.ndarray:
-    """torch Conv2d weight (O,I,kh,kw) → flax (kh,kw,I,O)."""
-    return jnp.asarray(_np(w).transpose(2, 3, 1, 0))
-
-
-def t2f_deconv(w) -> jnp.ndarray:
-    """torch ConvTranspose2d weight (I,O,kh,kw) → flax/lax HWIO with the
-    spatial taps flipped (verified equivalence for VALID/stride=k)."""
-    return jnp.asarray(_np(w).transpose(2, 3, 0, 1)[::-1, ::-1])
-
-
-def t2f_linear(w) -> jnp.ndarray:
-    """torch Linear weight (O,I) → flax Dense kernel (I,O)."""
-    return jnp.asarray(_np(w).T)
-
-
-def _b(t) -> jnp.ndarray:
-    return jnp.asarray(_np(t))
-
-
-def _cinl(sd, prefix: str) -> dict:
-    """ConvInNormLeReLU: one bias-free conv (InstanceNorm has no params)."""
-    return {"conv": {"kernel": t2f_conv(sd[f"{prefix}.Conv.weight"])}}
-
-
-def _levelblock(sd, prefix: str) -> dict:
-    """Reference LevelBlock (two ConvInNormLeReLU) → flax {block1, block2}."""
-    return {"block1": _cinl(sd, f"{prefix}.ConvInNormLRelu1"),
-            "block2": _cinl(sd, f"{prefix}.ConvInNormLRelu2")}
-
-
-def _conv1x1(sd, prefix: str) -> dict:
-    return {"kernel": t2f_conv(sd[f"{prefix}.weight"]),
-            "bias": _b(sd[f"{prefix}.bias"])}
-
-
-def _deconv_head(sd, prefix: str) -> dict:
-    """torch Sequential(ConvTranspose2d, conv1x1) → fused DeconvHead params."""
-    return {"deconv_kernel": t2f_deconv(sd[f"{prefix}.0.weight"]),
-            "deconv_bias": _b(sd[f"{prefix}.0.bias"]),
-            "conv1x1_kernel": t2f_conv(sd[f"{prefix}.1.weight"]),
-            "conv1x1_bias": _b(sd[f"{prefix}.1.bias"])}
-
-
-def _deconv(sd, prefix: str) -> dict:
-    """torch ConvTranspose2d module → flax nn.ConvTranspose params."""
-    return {"kernel": t2f_deconv(sd[f"{prefix}.weight"]),
-            "bias": _b(sd[f"{prefix}.bias"])}
-
-
-def _dense(sd, prefix: str) -> dict:
-    return {"kernel": t2f_linear(sd[f"{prefix}.weight"]),
-            "bias": _b(sd[f"{prefix}.bias"])}
-
-
-def _dense_after_flatten(sd, prefix: str, c: int, h: int, w: int) -> dict:
-    """Linear that follows a torch ``Flatten`` of a (B,C,H,W) tensor.  The
-    Flax side flattens (B,H,W,C), so the kernel's input axis is permuted from
-    (c,h,w) to (h,w,c) order before transposing."""
-    wt = _np(sd[f"{prefix}.weight"])  # (out, C*H*W) in (c,h,w) order
-    wt = wt.reshape(-1, c, h, w).transpose(0, 2, 3, 1).reshape(wt.shape[0], -1)
-    return {"kernel": jnp.asarray(wt.T), "bias": _b(sd[f"{prefix}.bias"])}
-
-
 def _nchw(x: np.ndarray) -> torch.Tensor:
     return torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+
+
+def _nhwc(t) -> np.ndarray:
+    return _np(t).transpose(0, 2, 3, 1)
 
 
 def _torch_count(model) -> int:
@@ -234,23 +180,14 @@ def test_param_count_parity_residual_unet():
 
 
 # ---------------------------------------------------------------------------
-# 2. Weight-transplant forward parity
+# 2. Weight-transplant forward parity (through models/torch_import)
 # ---------------------------------------------------------------------------
 
-def _bts_trunk_params(sd, *, fsb: bool = False) -> dict:
-    p = {"encoder1": _levelblock(sd, "encoder1"),
-         "encoder2": _levelblock(sd, "encoder2"),
-         "encoder3": _levelblock(sd, "encoder3"),
-         "encoder4": _levelblock(sd, "encoder4"),
-         "bottleneck": _levelblock(sd, "bottleneck"),
-         "bottleneck2": _cinl(sd, "bottleneck2"),
-         "decoder3": _levelblock(sd, "decoder3"),
-         "decoder2": _levelblock(sd, "decoder2"),
-         "decoder1": _levelblock(sd, "decoder1")}
-    if fsb:
-        for k in ("npl1", "npl2", "npl3", "npl4"):
-            p[k] = _levelblock(sd, k)
-    return p
+
+def _import_params(arch: str, tm, **kw):
+    params, stats = convert_state_dict(arch, tm.state_dict(), **kw)
+    return ({"params": params, "batch_stats": stats} if stats
+            else {"params": params})
 
 
 def test_transplant_btsunet_deep_supervision():
@@ -262,12 +199,6 @@ def test_transplant_btsunet_deep_supervision():
     tm = _ref("models/segmentation/BTS_UNet.py").BTSUNet(
         sequences=1, regions=1, width=8, deep_supervision=True)
     tm.eval()
-    sd = tm.state_dict()
-
-    params = _bts_trunk_params(sd)
-    params["output1"] = _conv1x1(sd, "output1")
-    params["output3"] = _deconv_head(sd, "output3")
-    params["output2"] = _deconv_head(sd, "output2")
 
     rng = np.random.default_rng(7)
     x = rng.standard_normal((2, 64, 64, 1)).astype(np.float32)
@@ -275,12 +206,11 @@ def test_transplant_btsunet_deep_supervision():
     with torch.no_grad():
         t_out = tm(_nchw(x))
     f_out = BTSUNet(regions=1, width=8, deep_supervision=True).apply(
-        {"params": params}, jnp.asarray(x))
+        _import_params("BTSUNet", tm, deep_supervision=True), jnp.asarray(x))
 
     assert len(t_out) == len(f_out) == 3
     for t, f in zip(t_out, f_out):
-        np.testing.assert_allclose(
-            _np(t), np.asarray(f).transpose(0, 3, 1, 2), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(_nhwc(t), np.asarray(f), rtol=1e-4, atol=1e-4)
 
 
 @pytest.mark.slow
@@ -294,27 +224,6 @@ def test_transplant_mtnnunet():
     tm = _ref("models/multitask/MTnnUNet.py").MTnnUNet(
         sequences=1, regions=1, n_classes=3)
     tm.eval()
-    sd = tm.state_dict()
-
-    backbone = {}
-    for i in range(1, 6):
-        backbone[f"encoder{i}"] = _levelblock(sd, f"encoder{i}")
-        backbone[f"decoder{i}"] = _levelblock(sd, f"decoder{i}")
-        backbone[f"upsample{i}"] = _deconv(sd, f"upsample{i}")
-    backbone["bottleneck"] = _levelblock(sd, "bottleneck")
-
-    heads = {"output4": _deconv_head(sd, "output4"),
-             "output3": _deconv_head(sd, "output3"),
-             "output2": _deconv_head(sd, "output2"),
-             "output1": _conv1x1(sd, "output1")}
-
-    cls_head = {"process_encoder_5": _cinl(sd, "process_encoder_5"),
-                "process_decoder_5": _cinl(sd, "process_decoder_5"),
-                "cls_conv": _cinl(sd, "classifier.0"),
-                "fc1": _dense(sd, "classifier.3"),
-                "fc2": _dense(sd, "classifier.5")}
-
-    params = {"backbone": backbone, "heads": heads, "cls_head": cls_head}
 
     rng = np.random.default_rng(11)
     x = rng.standard_normal((1, 64, 64, 1)).astype(np.float32)
@@ -322,14 +231,13 @@ def test_transplant_mtnnunet():
     with torch.no_grad():
         t_cls, t_seg = tm(_nchw(x))
     (f_cls,), f_seg = MTnnUNet(regions=1, n_classes=3).apply(
-        {"params": params}, jnp.asarray(x))
+        _import_params("MTnnUNet", tm), jnp.asarray(x))
 
     np.testing.assert_allclose(_np(t_cls[0]), np.asarray(f_cls),
                                rtol=1e-3, atol=1e-4)
     assert len(t_seg) == len(f_seg) == 4
     for t, f in zip(t_seg, f_seg):
-        np.testing.assert_allclose(
-            _np(t), np.asarray(f).transpose(0, 3, 1, 2), rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(_nhwc(t), np.asarray(f), rtol=1e-3, atol=1e-3)
 
 
 @pytest.mark.slow
@@ -342,20 +250,6 @@ def test_transplant_multi_bts_unet():
     tm = _ref("models/multitask/Multi_BTS_UNet.py").Multi_BTS_UNet(
         sequences=1, regions=1, n_classes=3, width=8, deep_supervision=True)
     tm.eval()
-    sd = tm.state_dict()
-
-    params = {
-        "trunk": _bts_trunk_params(sd),
-        "cls_head": {
-            "process_bottleneck2": _cinl(sd, "process_bottleneck2"),
-            "process_features_map": _cinl(sd, "process_features_map"),
-            "classifier": {"fc1": _dense_after_flatten(sd, "classifier.1", 64, 16, 16),
-                           "fc2": _dense(sd, "classifier.3")},
-        },
-        "output1": _conv1x1(sd, "output1"),
-        "output3": _deconv_head(sd, "output3"),
-        "output2": _deconv_head(sd, "output2"),
-    }
 
     rng = np.random.default_rng(23)
     x = rng.standard_normal((1, 128, 128, 1)).astype(np.float32)
@@ -364,13 +258,41 @@ def test_transplant_multi_bts_unet():
         t_cls, t_seg = tm(_nchw(x))
     (f_cls,), f_seg = MultiBTSUNet(regions=1, n_classes=3, width=8,
                                    deep_supervision=True).apply(
-        {"params": params}, jnp.asarray(x))
+        _import_params("Multi_BTSUNet", tm, deep_supervision=True, width=8),
+        jnp.asarray(x))
 
     np.testing.assert_allclose(_np(t_cls[0]), np.asarray(f_cls),
                                rtol=1e-3, atol=1e-4)
     for t, f in zip(t_seg, f_seg):
-        np.testing.assert_allclose(
-            _np(t), np.asarray(f).transpose(0, 3, 1, 2), rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(_nhwc(t), np.asarray(f), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_transplant_multi_fsb_bts_unet():
+    """Multi_FSB_BTS_UNet(width=8, DS) at 128²: transplant + forward parity
+    for the FSB trunk + cls head, the bare (unwrapped) class output and the
+    8-head order (``Multi_FSB_BTS_UNet.py:198-208``)."""
+    from multi_task_breast_cancer_tpu.models.multitask import MultiFSBBTSUNet
+
+    tm = _ref("models/multitask/Multi_FSB_BTS_UNet.py").Multi_FSB_BTS_UNet(
+        sequences=1, regions=1, width=8, deep_supervision=True)
+    tm.eval()
+
+    rng = np.random.default_rng(29)
+    x = rng.standard_normal((1, 128, 128, 1)).astype(np.float32)
+
+    with torch.no_grad():
+        t_cls, t_seg = tm(_nchw(x))
+    f_cls, f_seg = MultiFSBBTSUNet(regions=1, width=8,
+                                   deep_supervision=True).apply(
+        _import_params("Multi_FSB_BTSUNet", tm, deep_supervision=True, width=8),
+        jnp.asarray(x))
+
+    np.testing.assert_allclose(_np(t_cls), np.asarray(f_cls),
+                               rtol=1e-3, atol=1e-4)
+    assert len(t_seg) == len(f_seg) == 8
+    for t, f in zip(t_seg, f_seg):
+        np.testing.assert_allclose(_nhwc(t), np.asarray(f), rtol=1e-3, atol=1e-3)
 
 
 @pytest.mark.slow
@@ -383,15 +305,6 @@ def test_transplant_fsb_bts_unet_deep_supervision():
     tm = _ref("models/segmentation/FSB_BTS_UNet.py").FSB_BTS_UNet(
         sequences=1, regions=1, width=8, deep_supervision=True)
     tm.eval()
-    sd = tm.state_dict()
-
-    params = _bts_trunk_params(sd, fsb=True)
-    params["output1"] = _conv1x1(sd, "output1")
-    params["output3"] = _deconv_head(sd, "output3")
-    params["output2"] = _deconv_head(sd, "output2")
-    params["input1"] = _conv1x1(sd, "input1.0")
-    for k in ("out_npl1", "out_npl2", "out_npl3", "out_npl4"):
-        params[k] = _conv1x1(sd, f"{k}.0")
 
     rng = np.random.default_rng(31)
     x = rng.standard_normal((1, 64, 64, 1)).astype(np.float32)
@@ -399,12 +312,11 @@ def test_transplant_fsb_bts_unet_deep_supervision():
     with torch.no_grad():
         t_out = tm(_nchw(x))
     f_out = FSBBTSUNet(regions=1, width=8, deep_supervision=True).apply(
-        {"params": params}, jnp.asarray(x))
+        _import_params("FSBBTSUNet", tm, deep_supervision=True), jnp.asarray(x))
 
     assert len(t_out) == len(f_out) == 8
     for t, f in zip(t_out, f_out):
-        np.testing.assert_allclose(
-            _np(t), np.asarray(f).transpose(0, 3, 1, 2), rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(_nhwc(t), np.asarray(f), rtol=1e-3, atol=1e-3)
 
 
 @pytest.mark.slow
@@ -416,61 +328,176 @@ def test_transplant_nnunet2021():
 
     tm = _ref("models/segmentation/nnUNet.py").nnUNet2021(sequences=1, regions=1)
     tm.eval()
-    sd = tm.state_dict()
-
-    backbone = {}
-    for i in range(1, 6):
-        backbone[f"encoder{i}"] = _levelblock(sd, f"encoder{i}")
-        backbone[f"decoder{i}"] = _levelblock(sd, f"decoder{i}")
-        backbone[f"upsample{i}"] = _deconv(sd, f"upsample{i}")
-    backbone["bottleneck"] = _levelblock(sd, "bottleneck")
-    heads = {"output4": _deconv_head(sd, "output4"),
-             "output3": _deconv_head(sd, "output3"),
-             "output2": _deconv_head(sd, "output2"),
-             "output1": _conv1x1(sd, "output1")}
 
     rng = np.random.default_rng(37)
     x = rng.standard_normal((1, 64, 64, 1)).astype(np.float32)
     with torch.no_grad():
         t_out = tm(_nchw(x))
-    f_out = NNUNet2021(regions=1).apply(
-        {"params": {"backbone": backbone, "heads": heads}}, jnp.asarray(x))
+    f_out = NNUNet2021(regions=1).apply(_import_params("nnUNet", tm),
+                                        jnp.asarray(x))
     assert len(t_out) == len(f_out) == 4
     for t, f in zip(t_out, f_out):
-        np.testing.assert_allclose(
-            _np(t), np.asarray(f).transpose(0, 3, 1, 2), rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(_nhwc(t), np.asarray(f), rtol=1e-3, atol=1e-3)
 
 
 @pytest.mark.slow
 def test_transplant_nnunet_classifier_softmax_quirk():
     """nnUNetClassifier: transplant + forward parity THROUGH the
     softmax-in-forward quirk (``nnUNet_classifier.py:168-169``) — outputs are
-    probabilities, so agreement also validates the quirk's placement."""
+    probabilities, so agreement also validates the quirk's placement.
+    The reference's dead decoders 4..1 are dropped by the importer."""
     from multi_task_breast_cancer_tpu.models.classifiers import NNUNetClassifier
 
     tm = _ref("models/classification/nnUNet_classifier.py").nnUNetClassifier(
         sequences=1, n_classes=3)
     tm.eval()
-    sd = tm.state_dict()
-
-    params = {}
-    for i in range(1, 6):
-        params[f"encoder{i}"] = _levelblock(sd, f"encoder{i}")
-    params["bottleneck"] = _levelblock(sd, "bottleneck")
-    params["upsample5"] = _deconv(sd, "upsample5")
-    params["decoder5"] = _levelblock(sd, "decoder5")
-    params["cls_head"] = {"process_encoder_5": _cinl(sd, "process_encoder_5"),
-                          "process_decoder_5": _cinl(sd, "process_decoder_5"),
-                          "cls_conv": _cinl(sd, "classifier.0"),
-                          "fc1": _dense(sd, "classifier.3"),
-                          "fc2": _dense(sd, "classifier.5")}
 
     rng = np.random.default_rng(41)
     x = rng.standard_normal((2, 64, 64, 1)).astype(np.float32)
     with torch.no_grad():
         t_out = tm(_nchw(x))
-    f_out = NNUNetClassifier(n_classes=3).apply({"params": params},
-                                                jnp.asarray(x))
+    f_out = NNUNetClassifier(n_classes=3).apply(
+        _import_params("nnUNetClassifier", tm), jnp.asarray(x))
     probs = np.asarray(f_out)
     np.testing.assert_allclose(probs.sum(axis=-1), 1.0, rtol=1e-5)
     np.testing.assert_allclose(_np(t_out), probs, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_transplant_bts_classifier():
+    """BTSUNetClassifier(width=8) at 128²: transplant + forward parity for
+    the 5-LevelBlock encoder Sequential and the Flatten(8×8 grid)→MLP head
+    (``BTS_UNET_classifier.py:76-95``)."""
+    from multi_task_breast_cancer_tpu.models.classifiers import BTSUNetClassifier
+
+    tm = _ref("models/classification/BTS_UNET_classifier.py").BTSUNetClassifier(
+        sequences=1, classes=3, width=8)
+    tm.eval()
+
+    rng = np.random.default_rng(43)
+    x = rng.standard_normal((2, 128, 128, 1)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tm(_nchw(x))
+    f_out = BTSUNetClassifier(n_classes=3, width=8).apply(
+        _import_params("BTSUNetClassifier", tm, width=8), jnp.asarray(x))
+    np.testing.assert_allclose(_np(t_out), np.asarray(f_out),
+                               rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_transplant_adityan():
+    """Adityan(width=16) at 128² (the cls AvgPool2d(16) hard-codes the 16×16
+    post-pooling grid, ``AdityanNetwork.py:93``): transplant + forward parity
+    for all three outputs — biased ConvReLU blocks, 4 deconv upsamples, the
+    sigmoid reconstruction head and the pooled MLP classifier."""
+    from multi_task_breast_cancer_tpu.models.multitask import Adityan
+
+    tm = _ref("models/multitask/AdityanNetwork.py").Adityan(
+        sequences=1, regions=1, width=16)
+    tm.eval()
+
+    rng = np.random.default_rng(47)
+    x = rng.standard_normal((1, 128, 128, 1)).astype(np.float32)
+    with torch.no_grad():
+        t_cls, t_rec, t_seg = tm(_nchw(x))
+    f_cls, f_rec, f_seg = Adityan(regions=1, width=16).apply(
+        _import_params("Adityan", tm), jnp.asarray(x))
+
+    np.testing.assert_allclose(_np(t_cls), np.asarray(f_cls), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(_nhwc(t_rec), np.asarray(f_rec), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(_nhwc(t_seg), np.asarray(f_seg), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_transplant_residual_unet(monkeypatch):
+    """ResidualUNet(width=8): transplant + forward parity incl. BatchNorm
+    scale/bias AND running-stat buffers → ``batch_stats``.  The torch side's
+    ``F.dropout`` is patched to identity for the comparison — the reference
+    calls it without a ``training`` flag so it stays stochastic even under
+    ``eval()`` (``ResidualUNet.py:61,139,144``, documented deviation); with
+    dropout removed both sides are deterministic functions of the weights."""
+    from multi_task_breast_cancer_tpu.models.residual_unet import ResidualUNet
+
+    tm = _ref("models/segmentation/ResidualUNet.py").ResidualUNet(
+        sequences=1, regions=1, width=8)
+    tm.eval()
+    # make BN stats non-trivial so the buffer transplant is actually exercised
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+    monkeypatch.setattr(torch.nn.functional, "dropout",
+                        lambda x, p=0.5, training=True, inplace=False: x)
+
+    rng = np.random.default_rng(53)
+    x = rng.standard_normal((2, 64, 64, 1)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tm(_nchw(x))
+    f_out = ResidualUNet(regions=1, width=8).apply(
+        _import_params("ResidualUNet", tm), jnp.asarray(x), train=False)
+    np.testing.assert_allclose(_nhwc(t_out), np.asarray(f_out),
+                               rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# 3. Checkpoint-file round trip (the CLI migration path)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_torch_checkpoint_cli_roundtrip(tmp_path, monkeypatch):
+    """End-to-end migration: a reference-format torch checkpoint file
+    (``torch.save`` dict, ``training_multitask.py:243-249``) is converted by
+    the ``torch_import`` CLI into this framework's checkpoint format, loaded
+    back through ``load_pretrained_model``, and must produce the torch
+    model's forward outputs."""
+    from multi_task_breast_cancer_tpu.config import load_config
+    from multi_task_breast_cancer_tpu.models import torch_import
+    from multi_task_breast_cancer_tpu.train.checkpoint import load_pretrained_model
+    from multi_task_breast_cancer_tpu.train.driver import _build_model
+    from multi_task_breast_cancer_tpu.train.optim import init_optimizer
+    from multi_task_breast_cancer_tpu.train.state import create_train_state
+
+    tm = _ref("models/segmentation/BTS_UNet.py").BTSUNet(
+        sequences=1, regions=1, width=8, deep_supervision=False)
+    tm.eval()
+    torch_ckpt = tmp_path / "model_ref_fold_0"
+    torch.save({"epoch": 7, "model_state_dict": tm.state_dict(),
+                "optimizer_state_dict": {}, "scheduler": "scheduler",
+                "val_loss": 0.123}, torch_ckpt)
+
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(
+        "model: {architecture: BTSUNet, sequences: 1, width: 8, deep_supervision: False}\n"
+        "optimizer: {opt: Adam, lr: 0.001, scheduler: plateau}\n"
+        "training: {seed: 1993, epochs: 1, CV: 2}\n"
+        "data: {input_img: /nonexistent, batch_size: 4,\n"
+        "       classes: [benign, malignant, normal], oversampling: False}\n")
+
+    out_ckpt = tmp_path / "model_converted_fold_0"
+    monkeypatch.setattr(sys, "argv", [
+        "torch_import", "--config", str(cfg_path), "--task", "segmentation",
+        "--torch-checkpoint", str(torch_ckpt), "--out", str(out_ckpt)])
+    torch_import.main()
+    assert out_ckpt.exists()
+
+    cfg = load_config(cfg_path)
+    model = _build_model(cfg, "segmentation")
+    tx = init_optimizer(cfg.optimizer.opt, cfg.optimizer.lr)
+    state = create_train_state(model, tx, jax.random.PRNGKey(3),
+                               jnp.zeros((1, 128, 128, 1)))
+    state = load_pretrained_model(state, str(out_ckpt))
+
+    rng = np.random.default_rng(59)
+    x = rng.standard_normal((2, 128, 128, 1)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tm(_nchw(x))
+    f_out = model.apply({"params": state.params}, jnp.asarray(x))
+    np.testing.assert_allclose(_nhwc(t_out), np.asarray(f_out),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_convert_state_dict_rejects_unknown_arch():
+    with pytest.raises(ValueError, match="MONAI"):
+        convert_state_dict("SwinUNETR", {})

@@ -16,6 +16,7 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pandas as pd
 import pytest
 
 REF = Path("/root/reference/src")
@@ -163,6 +164,101 @@ def test_deep_supervision_weighting_matches_reference():
     ours_u = float(L.apply_criterion_binary_segmentation(
         ours_crit, gt_j, heads_j, inversely_weighted=False))
     assert ours_u == pytest.approx(theirs_u, rel=1e-5)
+
+
+def _ref_dataloader():
+    """Import the reference's ``BUSI_dataloader.py`` in place.
+
+    Its module-level ``from src.dataset.BUSI_dataset import BUSI`` pulls in
+    torchvision (absent from this image), so that single import is stubbed;
+    the oversampling functions under test never touch it.
+    """
+    import types
+    for pkg in ("src", "src.dataset"):
+        sys.modules.setdefault(pkg, types.ModuleType(pkg))
+    stub = types.ModuleType("src.dataset.BUSI_dataset")
+    stub.BUSI = object
+    sys.modules.setdefault("src.dataset.BUSI_dataset", stub)
+    return _ref("dataset/BUSI_dataloader.py")
+
+
+class _P1Series(pd.Series):
+    """Series restoring pandas<2 ``value_counts`` naming semantics.
+
+    The reference's ``compute_scaling_factor`` (``BUSI_dataloader.py:321-325``)
+    does ``value_counts(normalize=True).reset_index()`` and then reads columns
+    ``'index'`` / ``'class'`` — the pandas-1.x layout (result Series keeps the
+    ORIGINAL series name, index unnamed). pandas≥2 renamed these to
+    ``'class'`` / ``'proportion'``, which is why the reference function cannot
+    run unmodified under the image's pandas 3. Restoring only that naming rule
+    lets the reference's own code execute verbatim.
+    """
+
+    @property
+    def _constructor(self):
+        return _P1Series
+
+    @property
+    def _constructor_expanddim(self):
+        return _P1DataFrame
+
+    def value_counts(self, *args, **kwargs):
+        out = pd.Series(self).value_counts(*args, **kwargs)
+        out = out.rename(self.name)
+        out.index.name = None
+        return _P1Series(out)
+
+
+class _P1DataFrame(pd.DataFrame):
+    @property
+    def _constructor(self):
+        return _P1DataFrame
+
+    @property
+    def _constructor_sliced(self):
+        return _P1Series
+
+
+def test_deterministic_oversampling_matches_reference_code():
+    """Row-for-row parity with the reference's ACTUAL
+    ``deterministic_oversampling`` (``BUSI_dataloader.py:319-339``) — not just
+    its derived golden factors. Covers the curated-BUSI class counts, a clean
+    2/4/4-factor case, and the factor==1 majority-extra-copy quirk branch."""
+    from multi_task_breast_cancer_tpu.data.splits import deterministic_oversampling
+    ref = _ref_dataloader()
+
+    class_mixes = [
+        ["benign"] * 222 + ["malignant"] * 164 + ["normal"] * 64,  # curated BUSI
+        ["benign"] * 20 + ["malignant"] * 10 + ["normal"] * 10,    # factors 2/4/4
+        ["benign"] * 90 + ["malignant"] * 10,                      # factor-1 quirk
+    ]
+    for classes in class_mixes:
+        m = pd.DataFrame({"class": classes, "id": range(len(classes))})
+        theirs = ref.deterministic_oversampling(_P1DataFrame(m.copy()))
+        ours = deterministic_oversampling(m.copy())
+        # identical rows in identical order (both emit ignore_index frames)
+        assert list(ours["class"]) == list(theirs["class"])
+        assert list(ours["id"]) == list(theirs["id"])
+
+
+def test_legacy_oversampling_matches_reference_code():
+    """``oversampling_busi`` vs the reference's ``oversampling_BUSI``
+    (``BUSI_dataloader.py:305-317``): same pandas ``.sample`` draws at the
+    same seed ⇒ identical rows AND identical duplicated index labels."""
+    from multi_task_breast_cancer_tpu.data.splits import oversampling_busi
+    ref = _ref_dataloader()
+
+    # NB: the malignant top-up samples WITHOUT replacement (both sides), so
+    # the mix must satisfy n_ben - n_mal <= n_mal — a shared constraint.
+    classes = (["benign"] * 20 + ["malignant"] * 12 + ["normal"] * 7)
+    m = pd.DataFrame({"class": classes, "id": range(len(classes))})
+    m = m.sample(frac=1.0, random_state=7)  # shuffled input order
+    for seed in (1993, 42):
+        theirs = ref.oversampling_BUSI(m.copy(), seed)
+        ours = oversampling_busi(m.copy(), seed)
+        assert list(ours["id"]) == list(theirs["id"])
+        assert list(ours.index) == list(theirs.index)
+
 
 
 def test_multiclass_seg_metrics_match_reference():

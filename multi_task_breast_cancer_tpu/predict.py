@@ -24,18 +24,11 @@ import numpy as np
 from multi_task_breast_cancer_tpu.config import load_config
 from multi_task_breast_cancer_tpu.train.checkpoint import load_pretrained_model
 from multi_task_breast_cancer_tpu.train.driver import _build_model
-from multi_task_breast_cancer_tpu.train.inference import (
-    _cls_logits_np,
-    _sigmoid,
-    _softmax,
-    save_binary_segmentation,
-)
+from multi_task_breast_cancer_tpu.serve.post import postprocess
+from multi_task_breast_cancer_tpu.train.inference import save_binary_segmentation
 from multi_task_breast_cancer_tpu.train.loop import Engine, EngineConfig
 from multi_task_breast_cancer_tpu.train.optim import init_optimizer
 from multi_task_breast_cancer_tpu.train.state import create_train_state
-
-CLASS_NAMES = ["benign", "malignant", "normal"]
-
 
 def load_images(folder: str | Path, size: int = 128,
                 augmentations: dict | None = None) -> tuple[np.ndarray, list]:
@@ -43,8 +36,7 @@ def load_images(folder: str | Path, size: int = 128,
     channel + any config-enabled augment channels (CLAHE/Sobel/…), so the
     checkpointed model's input width matches (``ops.image_ops``)."""
     import cv2
-    from multi_task_breast_cancer_tpu import native
-    from multi_task_breast_cancer_tpu.ops.image_ops import build_augment_channels
+    from multi_task_breast_cancer_tpu.serve.server import prepare_image
 
     augmentations = augmentations or {}
     imgs, kept_paths = [], []
@@ -53,13 +45,7 @@ def load_images(folder: str | Path, size: int = 128,
         if img is None:
             logging.warning("skipping unreadable %s", p)
             continue
-        if img.shape != (size, size):
-            img = native.nearest_resize(img, size, size)
-        chan = img.astype(np.float32)[..., None]
-        if any(augmentations.values()):
-            chan = np.concatenate(
-                [chan, build_augment_channels(img, augmentations)], axis=-1)
-        imgs.append(chan)
+        imgs.append(prepare_image(img, size, augmentations))
         kept_paths.append(p)
     if not imgs:
         raise SystemExit(f"no readable PNG images found in {folder}")
@@ -103,41 +89,14 @@ def main() -> None:
     logging.info("inference: %d imgs in %.3fs (%.1f imgs/s)",
                  len(images), dt, len(images) / dt)
 
+    pred = postprocess(out, args.task, n_classes,
+                       cfg.training.overlap_class_based_on_seg)
     records = []
-    if args.task == "classification":
-        logits = _cls_logits_np(out)
-        probs = _softmax(logits) if n_classes > 2 else _sigmoid(logits)
-        for i, p in enumerate(paths):
-            records.append({"image": p.name,
-                            "probs": probs[i].tolist(),
-                            "predicted_class": CLASS_NAMES[int(np.argmax(probs[i]))]
-                            if n_classes > 2 else
-                            ("malignant" if probs[i][0] > 0.5 else "benign")})
-    else:
-        if args.task == "multitask":
-            if isinstance(out, tuple) and len(out) == 3:
-                # Adityan's (cls, reconstruction, seg) triple — reconstruction
-                # has no inference path (mirrors train/inference._forward_seg)
-                cls_out, _, seg_out = out
-            else:
-                cls_out, seg_out = out
-            logits = _cls_logits_np(cls_out)
-            probs = _softmax(logits) if n_classes > 2 else _sigmoid(logits)
-        else:
-            seg_out, probs = out, None
-        final = seg_out[-1] if isinstance(seg_out, (tuple, list)) else seg_out
-        masks = (_sigmoid(np.asarray(final[..., 0])) > 0.5).astype(np.uint8)
-        for i, p in enumerate(paths):
-            save_binary_segmentation(masks[i], str(out_dir / "segs" / f"{p.stem}_seg.png"))
-            rec = {"image": p.name,
-                   "tumor_pixels": int(masks[i].sum())}
-            if probs is not None:
-                rec["probs"] = probs[i].tolist()
-                rec["predicted_class"] = CLASS_NAMES[int(np.argmax(probs[i]))]
-                # PR rule: empty mask ⇒ normal
-                if cfg.training.overlap_class_based_on_seg and rec["tumor_pixels"] == 0:
-                    rec["predicted_class"] = "normal"
-            records.append(rec)
+    for i, p in enumerate(paths):
+        if pred.masks is not None:
+            save_binary_segmentation(pred.masks[i],
+                                     str(out_dir / "segs" / f"{p.stem}_seg.png"))
+        records.append({"image": p.name, **pred.record(i)})
 
     with (out_dir / "predictions.json").open("w") as f:
         json.dump(records, f, indent=2)

@@ -1,0 +1,172 @@
+"""Ahead-of-time model export for serving (``jax.export`` / StableHLO).
+
+A serving artifact is a directory:
+
+    manifest.json       task / classes / input geometry / buckets / versions
+    weights.npz         flat ``path -> array`` dump of the model variables
+    fwd_b{B}.jaxexport  serialized exported forward per batch bucket B
+
+Design points (TPU-first):
+
+- **Fixed batch buckets** instead of dynamic shapes: XLA compiles one
+  program per bucket; requests pad to the smallest bucket that fits, so
+  serving never retraces or recompiles online.
+- **Weights are an argument, not a constant**: the exported functions take
+  the variables pytree as input, so ``weights.npz`` can be hot-swapped
+  (e.g. a newly fine-tuned checkpoint) without re-exporting, and N buckets
+  don't embed N copies of the parameters.
+- **Multi-platform lowering** (``platforms=('cpu','tpu')`` by default): one
+  artifact serves on a TPU host and on a CPU fallback box alike.
+- Loading an artifact needs jax but NOT the model zoo / Flax module code —
+  the graph is frozen StableHLO (the torch reference would need the full
+  model source + torch to deserialize its ``.tar`` pickles,
+  ``training_multitask.py:243-249``).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MANIFEST = "manifest.json"
+WEIGHTS = "weights.npz"
+_SEP = "/"
+
+
+def _flatten_variables(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    flat, _ = jax.tree_util.tree_flatten_with_path(variables)
+    out = {}
+    for path, leaf in flat:
+        key = _SEP.join(str(getattr(p, "key", p)) for p in path)
+        out[key] = np.asarray(leaf)
+    return out
+
+
+def _unflatten_variables(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, arr in flat.items():
+        node = tree
+        parts = key.split(_SEP)
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = arr
+    return tree
+
+
+def export_inference(cfg, task: str, checkpoint: str, out_dir: str | Path,
+                     buckets: Sequence[int] = (1, 8, 64),
+                     size: int = 128,
+                     platforms: Sequence[str] = ("cpu", "tpu")) -> Path:
+    """Compile a trained checkpoint into a serving artifact directory."""
+    from multi_task_breast_cancer_tpu.train.checkpoint import load_pretrained_model
+    from multi_task_breast_cancer_tpu.train.driver import _build_model
+    from multi_task_breast_cancer_tpu.train.optim import init_optimizer
+    from multi_task_breast_cancer_tpu.train.state import create_train_state
+
+    channels = cfg.model.sequences + cfg.data.augmentation.n_active()
+    model = _build_model(cfg, task)
+    tx = init_optimizer(cfg.optimizer.opt, cfg.optimizer.lr)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, size, size, channels)))
+    state = load_pretrained_model(state, checkpoint)
+
+    variables: Dict[str, Any] = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    compute_dtype = cfg.training.compute_dtype
+
+    def fwd(variables, images):
+        v, x = variables, images
+        if compute_dtype == "bfloat16":
+            v = dict(v)
+            v["params"] = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, v["params"])
+            x = x.astype(jnp.bfloat16)
+        out = model.apply(v, x, train=False)
+        return jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), out)
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    var_shapes = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables)
+    buckets = sorted(set(int(b) for b in buckets))
+    for b in buckets:
+        exp = jax.export.export(jax.jit(fwd), platforms=tuple(platforms))(
+            var_shapes, jax.ShapeDtypeStruct((b, size, size, channels),
+                                             jnp.float32))
+        (out_dir / f"fwd_b{b}.jaxexport").write_bytes(exp.serialize())
+        logging.info("exported bucket B=%d", b)
+
+    np.savez(out_dir / WEIGHTS, **_flatten_variables(variables))
+    manifest = {
+        "task": task,
+        "architecture": cfg.model.architecture,
+        "n_classes": len(cfg.data.classes),
+        "classes": list(cfg.data.classes),
+        "size": size,
+        "channels": channels,
+        "buckets": buckets,
+        "platforms": list(platforms),
+        "compute_dtype": compute_dtype,
+        "augmentation": cfg.data.augmentation.as_dict(),
+        "pipeline_refinement": bool(cfg.training.overlap_class_based_on_seg),
+        "jax_version": jax.__version__,
+        "checkpoint": str(checkpoint),
+    }
+    (out_dir / MANIFEST).write_text(json.dumps(manifest, indent=2))
+    logging.info("serving artifact written to %s", out_dir)
+    return out_dir
+
+
+class ExportedModel:
+    """A loaded serving artifact: bucketed, padded, chunked batch inference.
+
+    ``predict`` accepts any leading batch size: it pads up to the smallest
+    compiled bucket that fits (wrap-padding with the last image so padded
+    rows stay in-distribution), or chunks by the largest bucket for
+    oversized batches — every device execution reuses a pre-compiled
+    program."""
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+        self.manifest = json.loads((self.path / MANIFEST).read_text())
+        with np.load(self.path / WEIGHTS) as z:
+            self.variables = _unflatten_variables({k: z[k] for k in z.files})
+        self.buckets = sorted(self.manifest["buckets"])
+        self._fns: Dict[int, Any] = {}
+
+    def _fn(self, bucket: int):
+        if bucket not in self._fns:
+            data = (self.path / f"fwd_b{bucket}.jaxexport").read_bytes()
+            self._fns[bucket] = jax.export.deserialize(data).call
+        return self._fns[bucket]
+
+    def _run(self, images: np.ndarray, bucket: int):
+        n = images.shape[0]
+        if n < bucket:
+            pad = np.repeat(images[-1:], bucket - n, axis=0)
+            images = np.concatenate([images, pad], axis=0)
+        out = self._fn(bucket)(self.variables, images.astype(np.float32))
+        return jax.tree_util.tree_map(lambda a: np.asarray(a)[:n], out)
+
+    def predict(self, images: np.ndarray):
+        n = images.shape[0]
+        top = self.buckets[-1]
+        if n <= top:
+            bucket = next(b for b in self.buckets if b >= n)
+            return self._run(images, bucket)
+        chunks = [self._run(images[i:i + top], top) for i in range(0, n, top)]
+        return jax.tree_util.tree_map(
+            lambda *parts: np.concatenate(parts, axis=0), *chunks)
+
+
+def load_exported(path: str | Path) -> ExportedModel:
+    return ExportedModel(path)

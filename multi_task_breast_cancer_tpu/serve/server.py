@@ -1,0 +1,289 @@
+"""Online inference server with dynamic micro-batching (stdlib only).
+
+Request threads decode + enqueue images; a single batcher thread coalesces
+whatever is queued (up to ``max_batch``, waiting at most ``batch_wait_ms``
+for stragglers) into ONE device execution. This keeps exactly one thread
+talking to the TPU (single-stream device discipline) while concurrent
+HTTP clients share each compiled forward — utilisation scales with load,
+and a lone request still answers within one wait window.
+
+Endpoints:
+    GET  /healthz   liveness + model info
+    GET  /stats     request/batch counters (observability)
+    POST /predict   one image → JSON prediction
+        body: PNG bytes (Content-Type: image/png) or JSON
+        ``{"image_b64": <base64 PNG>}``; add ``?mask=1`` for a base64-PNG
+        segmentation mask in the response.
+
+Backends: a ``jax.export`` artifact directory (:mod:`.export`) or a live
+checkpoint (model zoo + jit at startup).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import logging
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+from urllib.parse import urlparse, parse_qs
+
+import numpy as np
+
+from multi_task_breast_cancer_tpu.serve.post import postprocess
+
+
+def prepare_image(gray: np.ndarray, size: int, augmentations: Dict[str, bool]
+                  ) -> np.ndarray:
+    """Raw grayscale uint8 → the (H, W, C) float stack the model was trained
+    on: nearest-resize + config-enabled augment channels (same path as
+    training preprocessing / the ``predict`` CLI)."""
+    from multi_task_breast_cancer_tpu import native
+    from multi_task_breast_cancer_tpu.ops.image_ops import build_augment_channels
+
+    if gray.shape != (size, size):
+        gray = native.nearest_resize(gray, size, size)
+    chan = gray.astype(np.float32)[..., None]
+    if any(augmentations.values()):
+        chan = np.concatenate([chan, build_augment_channels(gray, augmentations)],
+                              axis=-1)
+    return chan
+
+
+class CheckpointBackend:
+    """Live-jit backend: build the model from config + checkpoint and compile
+    one fixed-batch forward (requests pad to ``max_batch``)."""
+
+    def __init__(self, cfg, task: str, checkpoint: str, size: int = 128,
+                 max_batch: int = 64):
+        import jax
+        import jax.numpy as jnp
+        from multi_task_breast_cancer_tpu.train.checkpoint import load_pretrained_model
+        from multi_task_breast_cancer_tpu.train.driver import _build_model
+        from multi_task_breast_cancer_tpu.train.loop import Engine, EngineConfig
+        from multi_task_breast_cancer_tpu.train.optim import init_optimizer
+        from multi_task_breast_cancer_tpu.train.state import create_train_state
+
+        channels = cfg.model.sequences + cfg.data.augmentation.n_active()
+        model = _build_model(cfg, task)
+        tx = init_optimizer(cfg.optimizer.opt, cfg.optimizer.lr)
+        self._engine = Engine(model, tx, EngineConfig(
+            task=task, n_classes=len(cfg.data.classes),
+            batch_size=cfg.data.batch_size,
+            compute_dtype=cfg.training.compute_dtype))
+        state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                                   jnp.zeros((1, size, size, channels)))
+        self._state = load_pretrained_model(state, checkpoint)
+        self._pad_to = max_batch
+        self.info = {
+            "task": task, "architecture": cfg.model.architecture,
+            "n_classes": len(cfg.data.classes), "classes": list(cfg.data.classes),
+            "size": size, "channels": channels, "buckets": [max_batch],
+            "augmentation": cfg.data.augmentation.as_dict(),
+            "pipeline_refinement": bool(cfg.training.overlap_class_based_on_seg),
+            "backend": "checkpoint",
+        }
+
+    def predict(self, images: np.ndarray):
+        import jax
+        out = self._engine.predict(self._state, images, pad_to=self._pad_to)
+        return jax.tree_util.tree_map(np.asarray, out)
+
+
+class ArtifactBackend:
+    """``jax.export`` artifact backend (see :mod:`.export`)."""
+
+    def __init__(self, path: str):
+        from multi_task_breast_cancer_tpu.serve.export import load_exported
+        self._model = load_exported(path)
+        m = self._model.manifest
+        self.info = {k: m[k] for k in ("task", "architecture", "n_classes",
+                                       "classes", "size", "channels", "buckets",
+                                       "augmentation", "pipeline_refinement")}
+        self.info["backend"] = "artifact"
+
+    def predict(self, images: np.ndarray):
+        return self._model.predict(images)
+
+
+@dataclass
+class _Pending:
+    image: np.ndarray
+    event: threading.Event = field(default_factory=threading.Event)
+    result: Optional[dict] = None
+    error: Optional[str] = None
+
+
+class MicroBatcher:
+    """Coalesce concurrently queued requests into single device batches."""
+
+    def __init__(self, backend, max_batch: int = 64, batch_wait_ms: float = 5.0):
+        self._backend = backend
+        self._max_batch = max_batch
+        self._wait_s = batch_wait_ms / 1e3
+        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self.stats = {"requests": 0, "batches": 0, "max_batch_seen": 0,
+                      "batched_requests": 0}
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="mtbc-batcher")
+        self._thread.start()
+
+    def submit(self, image: np.ndarray, timeout_s: float = 120.0) -> dict:
+        p = _Pending(image=image)
+        self._queue.put(p)
+        if not p.event.wait(timeout_s):
+            raise TimeoutError("inference timed out")
+        if p.error is not None:
+            raise RuntimeError(p.error)
+        return p.result
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def _collect(self) -> list:
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self._wait_s
+        while len(batch) < self._max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _loop(self):
+        info = self._backend.info
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                images = np.stack([p.image for p in batch])
+                out = self._backend.predict(images)
+                pred = postprocess(out, info["task"], info["n_classes"],
+                                   info["pipeline_refinement"])
+                for i, p in enumerate(batch):
+                    rec = pred.record(i)
+                    if pred.masks is not None:
+                        rec["_mask"] = pred.masks[i]
+                    p.result = rec
+            except Exception as e:  # surface to every waiting request
+                logging.exception("batch inference failed")
+                for p in batch:
+                    p.error = f"{type(e).__name__}: {e}"
+            finally:
+                self.stats["requests"] += len(batch)
+                self.stats["batches"] += 1
+                self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"],
+                                                   len(batch))
+                if len(batch) > 1:
+                    self.stats["batched_requests"] += len(batch)
+                for p in batch:
+                    p.event.set()
+
+
+def _decode_body(handler: BaseHTTPRequestHandler) -> np.ndarray:
+    import cv2
+
+    length = int(handler.headers.get("Content-Length", 0))
+    body = handler.rfile.read(length)
+    ctype = (handler.headers.get("Content-Type") or "").split(";")[0].strip()
+    if ctype == "application/json":
+        payload = json.loads(body)
+        body = base64.b64decode(payload["image_b64"])
+    img = cv2.imdecode(np.frombuffer(body, np.uint8), 0)
+    if img is None:
+        raise ValueError("request body is not a decodable image")
+    return img
+
+
+def make_handler(batcher: MicroBatcher, info: dict):
+    import cv2
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through logging, not stderr
+            logging.debug("http: " + fmt, *args)
+
+        def _json(self, code: int, obj: dict):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                self._json(200, {"status": "ok", "model": info})
+            elif path == "/stats":
+                self._json(200, dict(batcher.stats))
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/predict":
+                self._json(404, {"error": "not found"})
+                return
+            t0 = time.perf_counter()
+            try:
+                gray = _decode_body(self)
+                image = prepare_image(gray, info["size"], info["augmentation"])
+                rec = batcher.submit(image)
+            except Exception as e:
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            mask = rec.pop("_mask", None)
+            if mask is not None and parse_qs(url.query).get("mask", ["0"])[0] == "1":
+                ok, png = cv2.imencode(".png", (mask * 255).astype(np.uint8))
+                if ok:
+                    rec["mask_b64"] = base64.b64encode(png.tobytes()).decode()
+            rec["latency_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
+            self._json(200, rec)
+
+    return Handler
+
+
+class InferenceServer:
+    """Owns the HTTP server + batcher; ``serve_forever`` or use as a context
+    manager in tests (``with InferenceServer(...) as srv: srv.port``)."""
+
+    def __init__(self, backend, host: str = "127.0.0.1", port: int = 0,
+                 max_batch: int = 64, batch_wait_ms: float = 5.0):
+        self.batcher = MicroBatcher(backend, max_batch=max_batch,
+                                    batch_wait_ms=batch_wait_ms)
+        self.httpd = ThreadingHTTPServer(
+            (host, port), make_handler(self.batcher, backend.info))
+        self.port = self.httpd.server_address[1]
+
+    def __enter__(self):
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True, name="mtbc-http")
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.batcher.close()
+
+    def serve_forever(self):
+        logging.info("serving on port %d", self.port)
+        with self:
+            try:
+                threading.Event().wait()
+            except KeyboardInterrupt:
+                logging.info("shutting down")

@@ -1,0 +1,274 @@
+"""Serving subsystem: AOT export round-trip parity, bucket padding/chunking,
+the micro-batching HTTP server, and the serve CLI.
+
+The reference has no deployment path (its scripts stop at offline
+evaluation); these tests cover the TPU-native serving story —
+``jax.export`` artifacts that run without model code, and an online server
+that coalesces concurrent requests into single device batches."""
+
+from __future__ import annotations
+
+import base64
+import json
+import subprocess
+import sys
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_task_breast_cancer_tpu.config import Config, DataConfig, ModelConfig
+from multi_task_breast_cancer_tpu.serve.export import export_inference, load_exported
+from multi_task_breast_cancer_tpu.serve.post import postprocess
+from multi_task_breast_cancer_tpu.serve.server import (
+    ArtifactBackend,
+    CheckpointBackend,
+    InferenceServer,
+    prepare_image,
+)
+from multi_task_breast_cancer_tpu.train.checkpoint import save_checkpoint
+from multi_task_breast_cancer_tpu.train.driver import _build_model
+from multi_task_breast_cancer_tpu.train.loop import Engine, EngineConfig
+from multi_task_breast_cancer_tpu.train.optim import init_optimizer
+from multi_task_breast_cancer_tpu.train.state import create_train_state
+
+SIZE = 32
+
+
+def _cfg(task_arch: str = "Multi_BTSUNet") -> Config:
+    return Config(model=ModelConfig(architecture=task_arch, sequences=1, width=4,
+                                    deep_supervision=False),
+                  data=DataConfig(input_img="unused", batch_size=2,
+                                  classes=["benign", "malignant", "normal"]))
+
+
+def _checkpoint(cfg: Config, task: str, tmp_path, seed: int = 0) -> str:
+    model = _build_model(cfg, task)
+    tx = init_optimizer(cfg.optimizer.opt, cfg.optimizer.lr)
+    state = create_train_state(model, tx, jax.random.PRNGKey(seed),
+                               jnp.zeros((1, SIZE, SIZE, 1)))
+    path = tmp_path / f"ckpt_{task}"
+    save_checkpoint(str(path), state, epoch=0, val_loss=1.0)
+    return str(path), model, tx, state
+
+
+@pytest.fixture(scope="module")
+def mt_artifact(tmp_path_factory):
+    """Multitask checkpoint + exported artifact shared across tests."""
+    tmp_path = tmp_path_factory.mktemp("serve")
+    cfg = _cfg()
+    ckpt, model, tx, state = _checkpoint(cfg, "multitask", tmp_path)
+    art = export_inference(cfg, "multitask", ckpt, tmp_path / "artifact",
+                           buckets=(1, 4), size=SIZE, platforms=("cpu",))
+    return cfg, ckpt, art, model, tx, state
+
+
+def test_export_round_trip_matches_live_model(mt_artifact):
+    """Deserialized StableHLO forward == live Engine.predict at f32 tol."""
+    cfg, ckpt, art, model, tx, state = mt_artifact
+    exported = load_exported(art)
+
+    rng = np.random.default_rng(0)
+    images = (rng.random((4, SIZE, SIZE, 1)) * 255).astype(np.float32)
+
+    engine = Engine(model, tx, EngineConfig(task="multitask", n_classes=3))
+    live = engine.predict(state, images)
+    aot = exported.predict(images)
+
+    live_leaves = jax.tree_util.tree_leaves(live)
+    aot_leaves = jax.tree_util.tree_leaves(aot)
+    assert len(live_leaves) == len(aot_leaves)
+    for a, b in zip(live_leaves, aot_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_export_bucket_padding_and_chunking(mt_artifact):
+    """n=3 pads into the B=4 bucket; n=9 chunks by the largest bucket —
+    outputs must equal the per-image single-bucket results either way."""
+    _, _, art, *_ = mt_artifact
+    exported = load_exported(art)
+    rng = np.random.default_rng(1)
+    images = (rng.random((9, SIZE, SIZE, 1)) * 255).astype(np.float32)
+
+    singles = [exported.predict(images[i:i + 1]) for i in range(9)]
+    ref = jax.tree_util.tree_map(lambda *p: np.concatenate(p, 0), *singles)
+
+    for n in (3, 9):
+        out = jax.tree_util.tree_map(lambda a: a[:n],
+                                     exported.predict(images[:n]))
+        got = jax.tree_util.tree_leaves(out)
+        want = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda a: a[:n], ref))
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+        leading = {a.shape[0] for a in got}
+        assert leading == {n}
+
+
+def test_http_server_end_to_end(mt_artifact, tmp_path):
+    """Concurrent POSTs through the artifact backend: responses carry probs +
+    predicted_class + tumor_pixels (+ optional mask), the batcher coalesces
+    at least one multi-request batch, and /healthz + /stats respond."""
+    import cv2
+
+    _, _, art, *_ = mt_artifact
+    backend = ArtifactBackend(str(art))
+    rng = np.random.default_rng(2)
+    raw = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
+    ok, png = cv2.imencode(".png", raw)
+    assert ok
+    png_bytes = png.tobytes()
+
+    with InferenceServer(backend, max_batch=4, batch_wait_ms=200) as srv:
+        base = f"http://127.0.0.1:{srv.port}"
+
+        health = json.loads(urllib.request.urlopen(base + "/healthz").read())
+        assert health["status"] == "ok"
+        assert health["model"]["task"] == "multitask"
+
+        results, errors = [], []
+
+        def post(body, headers, path="/predict"):
+            req = urllib.request.Request(base + path, data=body,
+                                         headers=headers, method="POST")
+            try:
+                results.append(json.loads(urllib.request.urlopen(req).read()))
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=post, args=(
+            png_bytes, {"Content-Type": "image/png"},
+            "/predict?mask=1" if i == 0 else "/predict")) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        assert len(results) == 4
+        for rec in results:
+            assert set(rec) >= {"probs", "predicted_class", "tumor_pixels"}
+            assert rec["predicted_class"] in ("benign", "malignant", "normal")
+        # identical input ⇒ identical predictions across the batch
+        assert len({json.dumps(r["probs"]) for r in results}) == 1
+        with_mask = [r for r in results if "mask_b64" in r]
+        assert len(with_mask) == 1
+        mask_png = base64.b64decode(with_mask[0]["mask_b64"])
+        decoded = cv2.imdecode(np.frombuffer(mask_png, np.uint8), 0)
+        assert decoded.shape == (SIZE, SIZE)
+
+        # JSON body path
+        post(json.dumps({"image_b64": base64.b64encode(png_bytes).decode()})
+             .encode(), {"Content-Type": "application/json"})
+        assert not errors and len(results) == 5
+        # a lone request runs in the B=1 bucket — numerically equal to the
+        # coalesced B=4 batch result, not bit-equal (different XLA program)
+        np.testing.assert_allclose(results[-1]["probs"], results[0]["probs"],
+                                   rtol=1e-5, atol=1e-6)
+
+        stats = json.loads(urllib.request.urlopen(base + "/stats").read())
+        assert stats["requests"] == 5
+        assert stats["max_batch_seen"] >= 2  # coalescing actually happened
+
+        # malformed body → 400, server stays alive
+        req = urllib.request.Request(base + "/predict", data=b"not a png",
+                                     headers={"Content-Type": "image/png"},
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 400
+        assert json.loads(urllib.request.urlopen(base + "/healthz").read())[
+            "status"] == "ok"
+
+
+def test_checkpoint_backend_matches_artifact_backend(mt_artifact):
+    """Live-jit backend and AOT artifact backend agree on the same inputs."""
+    cfg, ckpt, art, *_ = mt_artifact
+    live = CheckpointBackend(cfg, "multitask", ckpt, size=SIZE, max_batch=4)
+    aot = ArtifactBackend(str(art))
+    rng = np.random.default_rng(3)
+    images = (rng.random((3, SIZE, SIZE, 1)) * 255).astype(np.float32)
+    a = postprocess(live.predict(images), "multitask", 3, True)
+    b = postprocess(aot.predict(images), "multitask", 3, True)
+    np.testing.assert_allclose(a.probs, b.probs, rtol=1e-5, atol=1e-5)
+    assert a.pred_class == b.pred_class
+    np.testing.assert_array_equal(a.masks, b.masks)
+
+
+def test_prepare_image_matches_training_stack():
+    """Serving-side channel prep == the dataset's channel conventions
+    (resize + augment channels), so a checkpoint sees the same input space."""
+    rng = np.random.default_rng(4)
+    raw = (rng.random((50, 40)) * 255).astype(np.uint8)
+    out = prepare_image(raw, SIZE, {})
+    assert out.shape == (SIZE, SIZE, 1) and out.dtype == np.float32
+    out2 = prepare_image(raw, SIZE, {"SOBEL": True})
+    assert out2.shape == (SIZE, SIZE, 2)
+    np.testing.assert_array_equal(out2[..., 0], out[..., 0])
+
+
+@pytest.mark.slow
+def test_serve_cli_export_and_run(tmp_path):
+    """CLI round trip: export subcommand writes an artifact, run subcommand
+    serves it, a real HTTP request answers."""
+    import cv2
+
+    config = tmp_path / "config.yaml"
+    config.write_text("""
+model:
+  architecture: Multi_BTSUNet
+  sequences: 1
+  width: 4
+  deep_supervision: False
+data:
+  batch_size: 2
+  classes: [benign, malignant, normal]
+""")
+    cfg = _cfg()
+    ckpt, *_ = _checkpoint(cfg, "multitask", tmp_path)
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
+           "HOME": "/root", "PYTHONPATH": "/root/repo"}
+
+    art = tmp_path / "artifact"
+    proc = subprocess.run(
+        [sys.executable, "-m", "multi_task_breast_cancer_tpu.serve", "export",
+         "--config", str(config), "--task", "multitask",
+         "--checkpoint", ckpt, "--output", str(art),
+         "--buckets", "1,2", "--size", str(SIZE), "--platforms", "cpu"],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert (art / "manifest.json").exists() and (art / "weights.npz").exists()
+
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    server = subprocess.Popen(
+        [sys.executable, "-m", "multi_task_breast_cancer_tpu.serve", "run",
+         "--artifact", str(art), "--host", "127.0.0.1", "--port", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
+    try:
+        base = f"http://127.0.0.1:{port}"
+        deadline = 120
+        import time
+        for _ in range(deadline * 10):
+            try:
+                urllib.request.urlopen(base + "/healthz", timeout=1)
+                break
+            except Exception:
+                if server.poll() is not None:
+                    raise AssertionError(server.stderr.read().decode()[-2000:])
+                time.sleep(0.1)
+        raw = (np.random.default_rng(5).random((SIZE, SIZE)) * 255).astype(np.uint8)
+        ok, png = cv2.imencode(".png", raw)
+        req = urllib.request.Request(base + "/predict", data=png.tobytes(),
+                                     headers={"Content-Type": "image/png"},
+                                     method="POST")
+        rec = json.loads(urllib.request.urlopen(req, timeout=120).read())
+        assert set(rec) >= {"probs", "predicted_class", "tumor_pixels"}
+    finally:
+        server.terminate()
+        server.wait(timeout=30)

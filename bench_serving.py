@@ -1,0 +1,166 @@
+"""Serving-path benchmark: AOT artifact throughput + online HTTP serving.
+
+Measures, on the flagship MTnnUNet at 128² (untrained weights — serving cost
+is weight-value-independent):
+
+1. **offline**: ExportedModel batched inference imgs/s at the largest bucket
+   (includes output host-transfer — the real serving cost, unlike the pure
+   device-side number in ``bench.py``).
+2. **online single-stream**: HTTP request→response latency percentiles for a
+   lone client (PNG in, JSON out; one ``batch_wait_ms`` of queueing included).
+3. **online concurrent**: sustained imgs/s with many parallel HTTP clients —
+   demonstrates the micro-batcher coalescing requests into device batches.
+
+Writes ``SERVING_r{NN}.json``-style output to stdout as ONE json line; run
+``python bench_serving.py`` on the TPU host (also runs on CPU for smoke).
+
+Env overrides: MTBC_SERVE_SIZE (img size), MTBC_SERVE_BUCKET (max bucket),
+MTBC_SERVE_ARCH, MTBC_SERVE_CLIENTS, MTBC_SERVE_REQS.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import statistics
+import tempfile
+import threading
+import time
+import urllib.request
+from pathlib import Path
+
+import numpy as np
+
+SIZE = int(os.environ.get("MTBC_SERVE_SIZE", 128))
+BUCKET = int(os.environ.get("MTBC_SERVE_BUCKET", 256))
+ARCH = os.environ.get("MTBC_SERVE_ARCH", "MTnnUNet")
+CLIENTS = int(os.environ.get("MTBC_SERVE_CLIENTS", 32))
+REQS = int(os.environ.get("MTBC_SERVE_REQS", 8))  # per client
+
+
+def _build_artifact(tmp: Path) -> Path:
+    import jax
+    import jax.numpy as jnp
+
+    from multi_task_breast_cancer_tpu.config import (
+        Config, DataConfig, ModelConfig, TrainingConfig)
+    from multi_task_breast_cancer_tpu.serve.export import export_inference
+    from multi_task_breast_cancer_tpu.train.checkpoint import save_checkpoint
+    from multi_task_breast_cancer_tpu.train.driver import _build_model
+    from multi_task_breast_cancer_tpu.train.optim import init_optimizer
+    from multi_task_breast_cancer_tpu.train.state import create_train_state
+
+    cfg = Config(model=ModelConfig(architecture=ARCH),
+                 training=TrainingConfig(compute_dtype="bfloat16"),
+                 data=DataConfig(input_img="unused",
+                                 classes=["benign", "malignant", "normal"]))
+    model = _build_model(cfg, "multitask")
+    tx = init_optimizer("Adam", 1e-4)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, SIZE, SIZE, 1)))
+    ckpt = tmp / "ckpt"
+    save_checkpoint(str(ckpt), state, epoch=0, val_loss=1.0)
+    platform = jax.devices()[0].platform
+    platforms = ("cpu",) if platform == "cpu" else ("cpu", platform)
+    return export_inference(cfg, "multitask", str(ckpt), tmp / "artifact",
+                            buckets=(1, BUCKET), size=SIZE,
+                            platforms=platforms), cfg
+
+
+def _offline_throughput(exported, images: np.ndarray) -> float:
+    """Ramped steady-state batched imgs/s (power-state ramp: repeat until
+    <5% drift between consecutive windows, like bench.py)."""
+    prev, rate = None, 0.0
+    for _ in range(12):
+        t0 = time.perf_counter()
+        reps = 4
+        for _ in range(reps):
+            out = exported.predict(images)
+        # outputs are np arrays already (predict converts) — materialized
+        dt = time.perf_counter() - t0
+        rate = reps * images.shape[0] / dt
+        if prev is not None and abs(rate - prev) / prev < 0.05:
+            break
+        prev = rate
+    return rate
+
+
+def main() -> None:
+    import cv2
+    import jax
+
+    from multi_task_breast_cancer_tpu.serve.export import load_exported
+    from multi_task_breast_cancer_tpu.serve.server import (
+        ArtifactBackend, InferenceServer)
+
+    tmp = Path(tempfile.mkdtemp(prefix="mtbc_serving_bench_"))
+    art, cfg = _build_artifact(tmp)
+    exported = load_exported(art)
+
+    rng = np.random.default_rng(0)
+    images = (rng.random((BUCKET, SIZE, SIZE, 1)) * 255).astype(np.float32)
+    offline = _offline_throughput(exported, images)
+
+    raw = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
+    ok, png = cv2.imencode(".png", raw)
+    assert ok
+    png_bytes = png.tobytes()
+
+    backend = ArtifactBackend(str(art))
+    with InferenceServer(backend, max_batch=BUCKET, batch_wait_ms=3.0) as srv:
+        base = f"http://127.0.0.1:{srv.port}"
+
+        def one_request(timeout=300.0) -> float:
+            t0 = time.perf_counter()
+            req = urllib.request.Request(
+                base + "/predict", data=png_bytes,
+                headers={"Content-Type": "image/png"}, method="POST")
+            urllib.request.urlopen(req, timeout=timeout).read()
+            return (time.perf_counter() - t0) * 1e3
+
+        # warm both buckets + the device
+        for _ in range(5):
+            one_request()
+
+        lat = sorted(one_request() for _ in range(40))
+        p50 = statistics.median(lat)
+        p95 = lat[int(0.95 * len(lat))]
+
+        # concurrent sustained load
+        lats, errs = [], []
+
+        def client():
+            try:
+                for _ in range(REQS):
+                    lats.append(one_request())
+            except Exception as e:  # noqa: BLE001
+                errs.append(repr(e))
+
+        threads = [threading.Thread(target=client) for _ in range(CLIENTS)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        assert not errs, errs[:3]
+        concurrent_rate = CLIENTS * REQS / wall
+        stats = dict(srv.batcher.stats)
+
+    print(json.dumps({
+        "metric": "serving",
+        "platform": jax.devices()[0].platform,
+        "arch": ARCH, "size": SIZE, "bucket": BUCKET,
+        "offline_imgs_s": round(offline, 1),
+        "online_p50_ms": round(p50, 2),
+        "online_p95_ms": round(p95, 2),
+        "concurrent_clients": CLIENTS,
+        "concurrent_imgs_s": round(concurrent_rate, 1),
+        "concurrent_mean_latency_ms": round(float(np.mean(lats)), 2),
+        "batcher": stats,
+    }))
+
+
+if __name__ == "__main__":
+    main()

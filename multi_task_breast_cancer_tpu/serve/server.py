@@ -59,9 +59,11 @@ class CheckpointBackend:
     one fixed-batch forward (requests pad to ``max_batch``)."""
 
     def __init__(self, cfg, task: str, checkpoint: str, size: int = 128,
-                 max_batch: int = 64):
+                 max_batch: int = 64, data_parallel: bool = True):
         import jax
         import jax.numpy as jnp
+        from multi_task_breast_cancer_tpu.parallel.mesh import (
+            data_mesh, replicate_to_mesh)
         from multi_task_breast_cancer_tpu.train.checkpoint import load_pretrained_model
         from multi_task_breast_cancer_tpu.train.driver import _build_model
         from multi_task_breast_cancer_tpu.train.loop import Engine, EngineConfig
@@ -71,13 +73,20 @@ class CheckpointBackend:
         channels = cfg.model.sequences + cfg.data.augmentation.n_active()
         model = _build_model(cfg, task)
         tx = init_optimizer(cfg.optimizer.opt, cfg.optimizer.lr)
+        # multi-chip serving: replicate weights over a data mesh and shard
+        # the serving batch — throughput scales with the chip count (padded
+        # buckets stay divisible because max_batch rounds up to the mesh)
+        mesh = data_mesh() if data_parallel else None
+        if mesh is not None:
+            max_batch = -(-max_batch // mesh.devices.size) * mesh.devices.size
         self._engine = Engine(model, tx, EngineConfig(
             task=task, n_classes=len(cfg.data.classes),
             batch_size=cfg.data.batch_size,
-            compute_dtype=cfg.training.compute_dtype))
+            compute_dtype=cfg.training.compute_dtype), mesh)
         state = create_train_state(model, tx, jax.random.PRNGKey(0),
                                    jnp.zeros((1, size, size, channels)))
-        self._state = load_pretrained_model(state, checkpoint)
+        state = load_pretrained_model(state, checkpoint)
+        self._state = replicate_to_mesh(mesh, state) if mesh is not None else state
         self._pad_to = max_batch
         self.info = {
             "task": task, "architecture": cfg.model.architecture,

@@ -389,8 +389,18 @@ class Engine:
         return state, tmetrics, vmetrics
 
     def _predict_impl(self, state: TrainState, images):
+        (images,) = self._shard_batch(images)
         out, _ = self._apply(state.params, state.batch_stats, images, train=False)
-        return self._as_f32(out)
+        out = self._as_f32(out)
+        if self.mesh is not None:
+            # batch sharded over 'data' for the forward (per-device work is
+            # 1/n — multi-chip inference/serving throughput), then outputs
+            # gathered replicated: multi-host processes cannot fetch shards
+            # they don't own, and host-side postprocessing wants full arrays
+            rep = NamedSharding(self.mesh, P())
+            out = jax.tree_util.tree_map(
+                lambda a: jax.lax.with_sharding_constraint(a, rep), out)
+        return out
 
     # ------------------------------------------------------------------
     # public API (host-side, converts once per epoch)

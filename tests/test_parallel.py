@@ -163,3 +163,43 @@ def test_compiled_program_is_actually_partitioned():
     # and replicated-epilogue overhead; anything >1/2 means no partitioning)
     ratio = flops["sharded"] / flops["single"]
     assert ratio < 0.25, f"per-device FLOPs ratio {ratio:.3f} — not partitioned"
+
+
+def test_sharded_predict_is_partitioned_and_equal():
+    """Inference under a mesh: (a) outputs equal the single-device forward,
+    (b) the compiled program's per-device FLOPs are ~1/8 (the batch is
+    genuinely sharded — this is the multi-chip serving path), (c) outputs
+    come back replicated so any host/process can fetch them."""
+    rng = np.random.default_rng(5)
+    images = (rng.random((16, 32, 32, 1)) * 255).astype(np.float32)
+    outs, flops = {}, {}
+    for name, mesh in (("single", None), ("sharded", data_mesh())):
+        model = init_segmentation_model("BTSUNet", width=4, deep_supervision=False)
+        tx = init_optimizer("Adam", 1e-3)
+        engine = Engine(model, tx,
+                        EngineConfig(task="segmentation", n_classes=3,
+                                     batch_size=8, use_transforms=False),
+                        mesh=mesh)
+        state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 32, 32, 1)))
+        out = engine.predict(state, images)
+        outs[name] = np.asarray(out)
+        lowered_in = jnp.asarray(images)
+        if mesh is not None:
+            from multi_task_breast_cancer_tpu.parallel.mesh import replicate_to_mesh
+            lowered_in = replicate_to_mesh(mesh, lowered_in)
+            from jax.sharding import NamedSharding, PartitionSpec
+            compiled = engine._predict.lower(state, lowered_in).compile()
+            # every output is replicated (fetchable from any process)
+            for s in jax.tree_util.tree_leaves(compiled.output_shardings):
+                assert s.is_fully_replicated
+        else:
+            compiled = engine._predict.lower(state, lowered_in).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops[name] = float(ca.get("flops", 0.0))
+
+    np.testing.assert_allclose(outs["sharded"], outs["single"],
+                               rtol=2e-5, atol=2e-5)
+    ratio = flops["sharded"] / flops["single"]
+    assert ratio < 0.25, f"per-device FLOPs ratio {ratio:.3f} — not partitioned"

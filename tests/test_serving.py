@@ -272,3 +272,21 @@ data:
     finally:
         server.terminate()
         server.wait(timeout=30)
+
+
+def test_checkpoint_backend_data_parallel_matches_single(mt_artifact):
+    """Multi-chip serving: the live backend under the 8-device mesh (weights
+    replicated, batch sharded, outputs gathered) must agree with the
+    single-device backend on the same inputs."""
+    cfg, ckpt, *_ = mt_artifact
+    dp = CheckpointBackend(cfg, "multitask", ckpt, size=SIZE, max_batch=8,
+                           data_parallel=True)
+    single = CheckpointBackend(cfg, "multitask", ckpt, size=SIZE, max_batch=8,
+                               data_parallel=False)
+    assert dp._engine.mesh is not None and dp._engine.mesh.devices.size == 8
+    rng = np.random.default_rng(6)
+    images = (rng.random((5, SIZE, SIZE, 1)) * 255).astype(np.float32)
+    a = postprocess(dp.predict(images), "multitask", 3, True)
+    b = postprocess(single.predict(images), "multitask", 3, True)
+    np.testing.assert_allclose(a.probs, b.probs, rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(a.masks, b.masks)

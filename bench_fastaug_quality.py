@@ -1,0 +1,78 @@
+"""fast_augmentation quality-neutrality benchmark (PARITY D13's open question).
+
+Re-trains the ablation's MT and MT+DO rows (same data/seed/protocol as
+``bench_ablation.py``) with ``training.fast_augmentation: true`` — the
+opt-in 3-shear Pallas rotation that changes nearest-rounding semantics —
+and compares every summary metric against the exact-parity arm recorded in
+``ABLATION_r03.json``. Quality-neutral = each |delta| within the
+exact-parity arm's own fold spread (2σ, floor 0.02), and the PR-rescue
+structure reproduces.
+
+Writes ``FASTAUG_QUALITY_r03.json``. Run on TPU (~12 min; the Pallas
+kernel path requires a TPU — this harness has no CPU mode).
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+import bench_ablation as BA
+
+
+def main() -> None:
+    from multi_task_breast_cancer_tpu.data import synthetic
+    from multi_task_breast_cancer_tpu.train.driver import run_experiment
+
+    baseline = json.loads(Path("ABLATION_r03.json").read_text())
+    tmp = Path(tempfile.mkdtemp(prefix="mtbc_fastaug_"))
+    root = synthetic.make_hard_busi(tmp / "busi", size=128, seed=7,
+                                    difficulty=BA.DIFFICULTY)
+
+    results, walls = {}, {}
+    for oversampling, do_tag in ((False, ""), (True, "+DO")):
+        cfg = BA._config(root, oversampling)
+        cfg.training.fast_augmentation = True
+        t0 = time.perf_counter()
+        run_path = Path(run_experiment(
+            cfg, task="multitask", mode="CV",
+            run_root=str(tmp / f"runs_fa{int(oversampling)}")))
+        walls[f"train_mt{do_tag or '_base'}"] = round(time.perf_counter() - t0, 1)
+        for use_pr, pr_tag in ((False, ""), (True, "+PR")):
+            name = "MT" + pr_tag + do_tag
+            rows = BA._posthoc_inference(
+                cfg, run_path, use_pr,
+                tmp / f"inf_{int(oversampling)}_{int(use_pr)}")
+            summary = BA._summarize(rows)
+            base = baseline["variants"][name]["summary"]
+            deltas, ok = {}, {}
+            for metric, s in summary.items():
+                d = s["mean"] - base[metric]["mean"]
+                tol = max(2.0 * base[metric]["std"], 0.02)
+                deltas[metric] = round(d, 4)
+                ok[metric] = bool(abs(d) <= tol)
+            results[name] = {"summary": summary, "delta_vs_exact": deltas,
+                             "within_fold_spread": ok}
+            print(name, json.dumps(summary), "deltas:", json.dumps(deltas),
+                  flush=True)
+
+    out = {
+        "protocol": "ABLATION_r03 MT rows re-trained with "
+                    "training.fast_augmentation=true (same data/seed/epochs; "
+                    "harness: bench_fastaug_quality.py)",
+        "platform": __import__("jax").devices()[0].platform,
+        "wall_s": walls,
+        "neutral": bool(all(all(v["within_fold_spread"].values())
+                            for v in results.values())),
+        "results": results,
+    }
+    Path("FASTAUG_QUALITY_r03.json").write_text(json.dumps(out, indent=1) + "\n")
+    print(json.dumps({"neutral": out["neutral"]}))
+
+
+if __name__ == "__main__":
+    main()

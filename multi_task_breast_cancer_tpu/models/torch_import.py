@@ -386,13 +386,9 @@ def main() -> None:
 
     import torch  # required only for reading the torch file
 
-    import jax.numpy as jnp
-
     from multi_task_breast_cancer_tpu.config import load_config
     from multi_task_breast_cancer_tpu.train.checkpoint import save_checkpoint
-    from multi_task_breast_cancer_tpu.train.driver import _build_model
-    from multi_task_breast_cancer_tpu.train.optim import init_optimizer
-    from multi_task_breast_cancer_tpu.train.state import create_train_state
+    from multi_task_breast_cancer_tpu.train.driver import build_inference_state
 
     ckpt = torch.load(args.torch_checkpoint, map_location="cpu",
                       weights_only=False)
@@ -406,11 +402,7 @@ def main() -> None:
         cfg.model.architecture, sd,
         deep_supervision=cfg.model.deep_supervision, width=cfg.model.width)
 
-    model = _build_model(cfg, args.task)
-    tx = init_optimizer(cfg.optimizer.opt, cfg.optimizer.lr)
-    channels = cfg.model.sequences + cfg.data.augmentation.n_active()
-    state = create_train_state(model, tx, jax.random.PRNGKey(0),
-                               jnp.zeros((1, args.size, args.size, channels)))
+    _, _, state, _ = build_inference_state(cfg, args.task, size=args.size)
     _assert_matching_trees(params, state.params, "params")
     if batch_stats:
         _assert_matching_trees(batch_stats, state.batch_stats, "batch stats")

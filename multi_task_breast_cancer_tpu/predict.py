@@ -18,17 +18,16 @@ import time
 from pathlib import Path
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from multi_task_breast_cancer_tpu.config import load_config
-from multi_task_breast_cancer_tpu.train.checkpoint import load_pretrained_model
-from multi_task_breast_cancer_tpu.train.driver import _build_model
-from multi_task_breast_cancer_tpu.serve.post import postprocess
-from multi_task_breast_cancer_tpu.train.inference import save_binary_segmentation
+from multi_task_breast_cancer_tpu.serve.post import model_applies_softmax, postprocess
+from multi_task_breast_cancer_tpu.train.driver import build_inference_state
+from multi_task_breast_cancer_tpu.train.inference import (
+    save_binary_segmentation,
+    save_multilabel_segmentation,
+)
 from multi_task_breast_cancer_tpu.train.loop import Engine, EngineConfig
-from multi_task_breast_cancer_tpu.train.optim import init_optimizer
-from multi_task_breast_cancer_tpu.train.state import create_train_state
 
 def load_images(folder: str | Path, size: int = 128,
                 augmentations: dict | None = None) -> tuple[np.ndarray, list]:
@@ -70,14 +69,14 @@ def main() -> None:
                                 augmentations=cfg.data.augmentation.as_dict())
     logging.info("loaded %d images (%d channels)", len(images), images.shape[-1])
 
-    model = _build_model(cfg, args.task)
-    tx = init_optimizer(cfg.optimizer.opt, cfg.optimizer.lr)
+    model, tx, state, channels = build_inference_state(
+        cfg, args.task, size=args.size, checkpoint=args.checkpoint)
+    if channels != images.shape[-1]:
+        raise SystemExit(f"config expects {channels} input channels, "
+                         f"loaded images have {images.shape[-1]}")
     engine = Engine(model, tx, EngineConfig(task=args.task, n_classes=n_classes,
                                             batch_size=cfg.data.batch_size,
                                             compute_dtype=cfg.training.compute_dtype))
-    state = create_train_state(model, tx, jax.random.PRNGKey(0),
-                               jnp.zeros((1, args.size, args.size, images.shape[-1])))
-    state = load_pretrained_model(state, args.checkpoint)
 
     out_dir = Path(args.output)
     (out_dir / "segs").mkdir(parents=True, exist_ok=True)
@@ -90,12 +89,15 @@ def main() -> None:
                  len(images), dt, len(images) / dt)
 
     pred = postprocess(out, args.task, n_classes,
-                       cfg.training.overlap_class_based_on_seg)
+                       cfg.training.overlap_class_based_on_seg,
+                       model_applies_softmax(args.task, cfg.model.architecture,
+                                             n_classes))
     records = []
+    save_mask = (save_binary_segmentation if pred.mask_scale == 255
+                 else save_multilabel_segmentation)  # semantic: label PNGs
     for i, p in enumerate(paths):
         if pred.masks is not None:
-            save_binary_segmentation(pred.masks[i],
-                                     str(out_dir / "segs" / f"{p.stem}_seg.png"))
+            save_mask(pred.masks[i], str(out_dir / "segs" / f"{p.stem}_seg.png"))
         records.append({"image": p.name, **pred.record(i)})
 
     with (out_dir / "predictions.json").open("w") as f:

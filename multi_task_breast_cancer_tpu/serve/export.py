@@ -64,17 +64,11 @@ def export_inference(cfg, task: str, checkpoint: str, out_dir: str | Path,
                      size: int = 128,
                      platforms: Sequence[str] = ("cpu", "tpu")) -> Path:
     """Compile a trained checkpoint into a serving artifact directory."""
-    from multi_task_breast_cancer_tpu.train.checkpoint import load_pretrained_model
-    from multi_task_breast_cancer_tpu.train.driver import _build_model
-    from multi_task_breast_cancer_tpu.train.optim import init_optimizer
-    from multi_task_breast_cancer_tpu.train.state import create_train_state
+    from multi_task_breast_cancer_tpu.serve.post import model_applies_softmax
+    from multi_task_breast_cancer_tpu.train.driver import build_inference_state
 
-    channels = cfg.model.sequences + cfg.data.augmentation.n_active()
-    model = _build_model(cfg, task)
-    tx = init_optimizer(cfg.optimizer.opt, cfg.optimizer.lr)
-    state = create_train_state(model, tx, jax.random.PRNGKey(0),
-                               jnp.zeros((1, size, size, channels)))
-    state = load_pretrained_model(state, checkpoint)
+    model, _, state, channels = build_inference_state(cfg, task, size=size,
+                                                      checkpoint=checkpoint)
 
     variables: Dict[str, Any] = {"params": state.params}
     if state.batch_stats:
@@ -118,6 +112,9 @@ def export_inference(cfg, task: str, checkpoint: str, out_dir: str | Path,
         "compute_dtype": compute_dtype,
         "augmentation": cfg.data.augmentation.as_dict(),
         "pipeline_refinement": bool(cfg.training.overlap_class_based_on_seg),
+        "softmax_in_forward": model_applies_softmax(
+            task, cfg.model.architecture, len(cfg.data.classes)),
+        "semantic_segmentation": bool(cfg.data.semantic_segmentation),
         "jax_version": jax.__version__,
         "checkpoint": str(checkpoint),
     }
@@ -140,6 +137,11 @@ class ExportedModel:
         self.manifest = json.loads((self.path / MANIFEST).read_text())
         with np.load(self.path / WEIGHTS) as z:
             self.variables = _unflatten_variables({k: z[k] for k in z.files})
+        # Commit the weights to the device ONCE: jax.Arrays are reused across
+        # exported calls, numpy leaves would be re-uploaded host→device on
+        # every predict (~63 MB/batch for the flagship — on a tunnel TPU that
+        # transfer, not the compute, would dominate serving latency).
+        self.variables = jax.device_put(self.variables)
         self.buckets = sorted(self.manifest["buckets"])
         self._fns: Dict[int, Any] = {}
 
@@ -159,6 +161,8 @@ class ExportedModel:
 
     def predict(self, images: np.ndarray):
         n = images.shape[0]
+        if n == 0:
+            raise ValueError("empty batch: images has 0 rows")
         top = self.buckets[-1]
         if n <= top:
             bucket = next(b for b in self.buckets if b >= n)

@@ -60,19 +60,14 @@ class CheckpointBackend:
 
     def __init__(self, cfg, task: str, checkpoint: str, size: int = 128,
                  max_batch: int = 64, data_parallel: bool = True):
-        import jax
-        import jax.numpy as jnp
         from multi_task_breast_cancer_tpu.parallel.mesh import (
             data_mesh, replicate_to_mesh)
-        from multi_task_breast_cancer_tpu.train.checkpoint import load_pretrained_model
-        from multi_task_breast_cancer_tpu.train.driver import _build_model
+        from multi_task_breast_cancer_tpu.serve.post import model_applies_softmax
+        from multi_task_breast_cancer_tpu.train.driver import build_inference_state
         from multi_task_breast_cancer_tpu.train.loop import Engine, EngineConfig
-        from multi_task_breast_cancer_tpu.train.optim import init_optimizer
-        from multi_task_breast_cancer_tpu.train.state import create_train_state
 
-        channels = cfg.model.sequences + cfg.data.augmentation.n_active()
-        model = _build_model(cfg, task)
-        tx = init_optimizer(cfg.optimizer.opt, cfg.optimizer.lr)
+        model, tx, state, channels = build_inference_state(
+            cfg, task, size=size, checkpoint=checkpoint)
         # multi-chip serving: replicate weights over a data mesh and shard
         # the serving batch — throughput scales with the chip count (padded
         # buckets stay divisible because max_batch rounds up to the mesh)
@@ -83,9 +78,6 @@ class CheckpointBackend:
             task=task, n_classes=len(cfg.data.classes),
             batch_size=cfg.data.batch_size,
             compute_dtype=cfg.training.compute_dtype), mesh)
-        state = create_train_state(model, tx, jax.random.PRNGKey(0),
-                                   jnp.zeros((1, size, size, channels)))
-        state = load_pretrained_model(state, checkpoint)
         self._state = replicate_to_mesh(mesh, state) if mesh is not None else state
         self._pad_to = max_batch
         self.info = {
@@ -94,6 +86,8 @@ class CheckpointBackend:
             "size": size, "channels": channels, "buckets": [max_batch],
             "augmentation": cfg.data.augmentation.as_dict(),
             "pipeline_refinement": bool(cfg.training.overlap_class_based_on_seg),
+            "softmax_in_forward": model_applies_softmax(
+                task, cfg.model.architecture, len(cfg.data.classes)),
             "backend": "checkpoint",
         }
 
@@ -113,6 +107,8 @@ class ArtifactBackend:
         self.info = {k: m[k] for k in ("task", "architecture", "n_classes",
                                        "classes", "size", "channels", "buckets",
                                        "augmentation", "pipeline_refinement")}
+        # absent in pre-round-3 artifacts: default to raw-logit convention
+        self.info["softmax_in_forward"] = bool(m.get("softmax_in_forward", False))
         self.info["backend"] = "artifact"
 
     def predict(self, images: np.ndarray):
@@ -182,11 +178,13 @@ class MicroBatcher:
                 images = np.stack([p.image for p in batch])
                 out = self._backend.predict(images)
                 pred = postprocess(out, info["task"], info["n_classes"],
-                                   info["pipeline_refinement"])
+                                   info["pipeline_refinement"],
+                                   info.get("softmax_in_forward", False))
                 for i, p in enumerate(batch):
                     rec = pred.record(i)
                     if pred.masks is not None:
                         rec["_mask"] = pred.masks[i]
+                        rec["_mask_scale"] = pred.mask_scale
                     p.result = rec
             except Exception as e:  # surface to every waiting request
                 logging.exception("batch inference failed")
@@ -203,10 +201,19 @@ class MicroBatcher:
                     p.event.set()
 
 
+MAX_BODY_BYTES = 32 << 20  # largest accepted request body (base64 PNG ≲ 24 MB)
+
+
+class _BodyTooLarge(ValueError):
+    pass
+
+
 def _decode_body(handler: BaseHTTPRequestHandler) -> np.ndarray:
     import cv2
 
     length = int(handler.headers.get("Content-Length", 0))
+    if length > MAX_BODY_BYTES:
+        raise _BodyTooLarge(f"request body {length} B exceeds {MAX_BODY_BYTES} B")
     body = handler.rfile.read(length)
     ctype = (handler.headers.get("Content-Type") or "").split(";")[0].strip()
     if ctype == "application/json":
@@ -248,16 +255,29 @@ def make_handler(batcher: MicroBatcher, info: dict):
                 self._json(404, {"error": "not found"})
                 return
             t0 = time.perf_counter()
+            # client faults (bad payload) → 4xx; backend/infra faults → 5xx,
+            # so retry policies and health alarms key on the right side
             try:
                 gray = _decode_body(self)
                 image = prepare_image(gray, info["size"], info["augmentation"])
-                rec = batcher.submit(image)
+            except _BodyTooLarge as e:
+                self._json(413, {"error": str(e)})
+                return
             except Exception as e:
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
                 return
+            try:
+                rec = batcher.submit(image)
+            except TimeoutError as e:
+                self._json(504, {"error": f"{type(e).__name__}: {e}"})
+                return
+            except Exception as e:
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
             mask = rec.pop("_mask", None)
+            scale = rec.pop("_mask_scale", 255)
             if mask is not None and parse_qs(url.query).get("mask", ["0"])[0] == "1":
-                ok, png = cv2.imencode(".png", (mask * 255).astype(np.uint8))
+                ok, png = cv2.imencode(".png", (mask * scale).astype(np.uint8))
                 if ok:
                     rec["mask_b64"] = base64.b64encode(png.tobytes()).decode()
             rec["latency_ms"] = round((time.perf_counter() - t0) * 1e3, 2)

@@ -99,6 +99,25 @@ def _build_model(cfg: Config, task: str):
                                 nnunet_widths=nw)
 
 
+def build_inference_state(cfg: Config, task: str, size: int = 128,
+                          checkpoint: Optional[str] = None):
+    """Model + fresh TrainState (+ optional checkpoint restore): the one
+    shared recipe behind ``predict.py``, the serving backends/export, and the
+    torch-checkpoint importer. Returns ``(model, tx, state, channels)``.
+
+    Keeping this in one place means a change to state construction (e.g. a
+    new input-channel source) cannot silently diverge between training and
+    the deployment paths."""
+    channels = cfg.model.sequences + cfg.data.augmentation.n_active()
+    model = _build_model(cfg, task)
+    tx = init_optimizer(cfg.optimizer.opt, cfg.optimizer.lr)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, size, size, channels)))
+    if checkpoint is not None:
+        state = load_pretrained_model(state, checkpoint)
+    return model, tx, state, channels
+
+
 def quick_test_dice(engine: Engine, state, test_ds, fill_holes: bool = True,
                     pad_to: int | None = None) -> float:
     """Per-image mean test DICE (the number the seg drivers log each epoch,

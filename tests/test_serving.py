@@ -274,6 +274,115 @@ data:
         server.wait(timeout=30)
 
 
+def test_nnunet_classifier_probs_not_double_softmaxed(tmp_path):
+    """nnUNetClassifier applies softmax INSIDE forward for multiclass
+    (reference quirk, ``nnUNet_classifier.py:168-169``); serving postprocess
+    must pass those probabilities through unchanged — re-softmaxing flattens
+    a confident [0.998, .001, .001] into ≈[0.50, 0.25, 0.25]."""
+    cfg = _cfg("nnUNetClassifier")
+    ckpt, *_ = _checkpoint(cfg, "classification", tmp_path)
+    backend = CheckpointBackend(cfg, "classification", ckpt, size=SIZE,
+                                max_batch=2, data_parallel=False)
+    assert backend.info["softmax_in_forward"] is True
+    rng = np.random.default_rng(7)
+    images = (rng.random((2, SIZE, SIZE, 1)) * 255).astype(np.float32)
+    out = np.asarray(backend.predict(images))
+    pred = postprocess(out, "classification", 3, False,
+                       backend.info["softmax_in_forward"])
+    np.testing.assert_allclose(pred.probs, out[:2], rtol=1e-6)
+    np.testing.assert_allclose(pred.probs.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_export_manifest_records_softmax_in_forward(tmp_path):
+    """The artifact manifest must carry the forward-normalization convention
+    so ArtifactBackend postprocesses pre-softmaxed outputs correctly."""
+    cfg = _cfg("nnUNetClassifier")
+    ckpt, *_ = _checkpoint(cfg, "classification", tmp_path)
+    art = export_inference(cfg, "classification", ckpt, tmp_path / "art",
+                           buckets=(2,), size=SIZE, platforms=("cpu",))
+    backend = ArtifactBackend(str(art))
+    assert backend.info["softmax_in_forward"] is True
+    # multitask heads emit raw logits — flag must stay False there
+    assert json.loads((art / "manifest.json").read_text())[
+        "softmax_in_forward"] is True
+
+
+def test_postprocess_semantic_masks_and_pixel_vote():
+    """>1-channel seg heads (semantic segmentation, ``models.py:140-162``)
+    decode as softmax-argmax label maps with the reference's pixel vote —
+    NOT as sigmoid(channel 0) binary masks."""
+    rng = np.random.default_rng(8)
+    final = rng.normal(size=(4, 8, 8, 3)).astype(np.float32)
+    pred = postprocess(final, "segmentation", 3, False)
+    expect = np.argmax(final, -1)
+    np.testing.assert_array_equal(pred.masks, expect)
+    assert pred.mask_scale == 127
+    for i in range(4):
+        b, m = (expect[i] == 1).sum(), (expect[i] == 2).sum()
+        assert pred.pred_class[i] == ("benign" if b >= m else "malignant")
+        assert pred.record(i)["tumor_pixels"] == int((expect[i] != 0).sum())
+    # single-channel head keeps the binary convention
+    pred_b = postprocess(final[..., :1], "segmentation", 3, False)
+    assert pred_b.mask_scale == 255 and pred_b.pred_class is None
+    np.testing.assert_array_equal(
+        pred_b.masks, (1 / (1 + np.exp(-final[..., 0])) > 0.5))
+
+
+def test_exported_model_empty_batch_and_device_weights(mt_artifact):
+    """predict() rejects an empty batch with a clear error (not a cryptic
+    aval mismatch), and the loaded weights are device-committed jax.Arrays
+    (numpy leaves would re-upload the full weight set every batch)."""
+    _, _, art, *_ = mt_artifact
+    exported = load_exported(art)
+    with pytest.raises(ValueError, match="empty batch"):
+        exported.predict(np.zeros((0, SIZE, SIZE, 1), np.float32))
+    assert all(isinstance(leaf, jax.Array)
+               for leaf in jax.tree_util.tree_leaves(exported.variables))
+
+
+class _FailingBackend:
+    """Stub backend whose inference always raises (infra fault)."""
+
+    info = {"task": "classification", "architecture": "stub", "n_classes": 3,
+            "classes": ["benign", "malignant", "normal"], "size": SIZE,
+            "channels": 1, "buckets": [2], "augmentation": {},
+            "pipeline_refinement": False, "softmax_in_forward": False,
+            "backend": "stub"}
+
+    def predict(self, images):
+        raise RuntimeError("chip on fire")
+
+
+def test_http_error_codes_backend_5xx_oversized_413():
+    """Backend/infra faults must surface as 5xx (retryable, alarms fire) and
+    oversized bodies as 413 — not blanket 400 client errors."""
+    import cv2
+    import http.client
+
+    rng = np.random.default_rng(9)
+    ok, png = cv2.imencode(".png", (rng.random((SIZE, SIZE)) * 255)
+                           .astype(np.uint8))
+    assert ok
+    with InferenceServer(_FailingBackend(), max_batch=2,
+                         batch_wait_ms=1) as srv:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/predict", data=png.tobytes(),
+            headers={"Content-Type": "image/png"}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 500  # valid request, failing backend
+
+        # oversized Content-Length is rejected BEFORE the body is read
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
+        conn.putrequest("POST", "/predict")
+        conn.putheader("Content-Type", "image/png")
+        conn.putheader("Content-Length", str(64 << 20))
+        conn.endheaders()
+        conn.send(b"x")
+        assert conn.getresponse().status == 413
+        conn.close()
+
+
 def test_checkpoint_backend_data_parallel_matches_single(mt_artifact):
     """Multi-chip serving: the live backend under the 8-device mesh (weights
     replicated, batch sharded, outputs gathered) must agree with the

@@ -32,12 +32,10 @@ block indexing, which also performs the batch row selection.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 
 try:  # pltpu importable only with TPU-capable jaxlib
@@ -90,7 +88,7 @@ def _relabel_rows(cond, s):
 
 def build_pipeline_params(key: jax.Array, b: int, w: int, *, p_hflip: float,
                           p_vflip: float, max_angle: float
-                          ) -> Tuple[Array, Array, Array, Array]:
+                          ) -> Tuple[Array, Array]:
     """Draw per-sample flips/angles (SAME key-split scheme as the exact path,
     ``data/augment.py::_joint_coords``) and fold them into the fixed-pipeline
     gather parameters.
@@ -110,7 +108,7 @@ def build_pipeline_params(key: jax.Array, b: int, w: int, *, p_hflip: float,
 
 
 def pipeline_params_from_draws(fh: Array, fv: Array, angle: Array, w: int
-                               ) -> Tuple[Array, Array, Array, Array]:
+                               ) -> Tuple[Array, Array]:
     c_mid = (w - 1) / 2.0
     ang = jnp.mod(angle + 180.0, 360.0) - 180.0
     qf = jnp.round(ang / 90.0)

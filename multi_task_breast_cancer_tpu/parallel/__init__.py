@@ -5,5 +5,4 @@ from multi_task_breast_cancer_tpu.parallel.mesh import (  # noqa: F401
     data_space_mesh,
     device_count,
     replicate_to_mesh,
-    shard_batch,
 )

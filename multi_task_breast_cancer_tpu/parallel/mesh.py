@@ -71,13 +71,6 @@ def data_space_mesh(n_space: int = 1, n_devices: Optional[int] = None
     return Mesh(grid, ("data", "space"))
 
 
-def shard_batch(mesh: Mesh, *arrays):
-    """Place batch arrays with their leading axis sharded over the mesh."""
-    spec = NamedSharding(mesh, P("data"))
-    out = tuple(jax.device_put(a, spec) for a in arrays)
-    return out if len(out) > 1 else out[0]
-
-
 def replicate_to_mesh(mesh: Mesh, tree):
     """Fully replicate a pytree (params/opt state/fold data) over the mesh.
 

@@ -30,14 +30,13 @@ def initialize(coordinator_address: Optional[str] = None,
     (returns False without side effects). Auto-detects TPU pod environments
     (``jax.distributed.initialize`` with no args); explicit args support
     manual GPU/CPU clusters."""
-    in_pod_env = any(k in os.environ for k in
-                     ("MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"))
-    if coordinator_address is None and not in_pod_env:
-        return False
-    # single-process TPU_WORKER_HOSTNAMES=localhost is not a real pod
-    if coordinator_address is None and \
-            os.environ.get("TPU_WORKER_HOSTNAMES", "") in ("", "localhost"):
-        return False
+    if coordinator_address is None:
+        # auto-detect: a multislice env (MEGASCALE_*) always counts; a
+        # single-process TPU_WORKER_HOSTNAMES=localhost is not a real pod
+        megascale = "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
+        workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        if not megascale and workers in ("", "localhost"):
+            return False
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
@@ -61,21 +60,31 @@ def coordinator_run_root(run_root: str) -> str:
     their host-side artifact writes are redundant copies that would clobber
     process 0's on a shared filesystem."""
     try:
-        if jax.process_count() > 1 and jax.process_index() != 0:
-            import tempfile
-            scratch = tempfile.mkdtemp(
-                prefix=f"mtbc_proc{jax.process_index()}_artifacts_")
-            logging.info("non-coordinator process %d: artifacts redirected "
-                         "to %s", jax.process_index(), scratch)
-            return scratch
+        multi = jax.process_count() > 1 and jax.process_index() != 0
     except Exception:  # pragma: no cover - backend not initialised
-        pass
+        return run_root
+    if multi:
+        import tempfile
+        # NOT inside the guarded block above: if scratch creation fails on a
+        # real pod we must fail loudly, not fall back to the shared run_root
+        # this function exists to protect
+        scratch = tempfile.mkdtemp(
+            prefix=f"mtbc_proc{jax.process_index()}_artifacts_")
+        logging.info("non-coordinator process %d: artifacts redirected "
+                     "to %s", jax.process_index(), scratch)
+        return scratch
     return run_root
 
 
 def process_local_slice(n_global: int) -> slice:
     """The half-open index range of a length-``n_global`` global batch owned by
     this process (equal host-local shards)."""
-    per = n_global // jax.process_count()
+    count = jax.process_count()
+    if n_global % count:
+        raise ValueError(
+            f"global batch of {n_global} does not shard evenly over "
+            f"{count} processes — trailing samples would silently be owned "
+            f"by no process; pad or trim the batch to a multiple of {count}")
+    per = n_global // count
     start = jax.process_index() * per
     return slice(start, start + per)

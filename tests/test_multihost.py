@@ -211,3 +211,35 @@ def test_initialize_noop_on_single_host(monkeypatch):
     assert multihost.initialize() is False
     monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
     assert multihost.initialize() is False
+
+
+def test_initialize_attempts_in_megascale_only_env(monkeypatch):
+    """A multislice env sets MEGASCALE_COORDINATOR_ADDRESS but not
+    necessarily TPU_WORKER_HOSTNAMES — auto-detect must still attempt
+    jax.distributed.initialize (regression: the localhost guard used to
+    veto it, leaving each process with only its local devices)."""
+    import jax
+
+    from multi_task_breast_cancer_tpu.parallel import multihost
+    monkeypatch.setenv("MEGASCALE_COORDINATOR_ADDRESS", "10.0.0.1:8476")
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    assert multihost.initialize() is True
+    assert calls == [{"coordinator_address": None, "num_processes": None,
+                      "process_id": None}]
+
+
+def test_process_local_slice_rejects_uneven_batch(monkeypatch):
+    """A global batch that does not shard evenly over the processes must
+    fail loudly — a floor-divided slice would leave the trailing samples
+    owned by no process (silently never trained on)."""
+    import jax
+
+    from multi_task_breast_cancer_tpu.parallel import multihost
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    monkeypatch.setattr(jax, "process_index", lambda: 3)
+    assert multihost.process_local_slice(8) == slice(6, 8)
+    with pytest.raises(ValueError, match="does not shard evenly"):
+        multihost.process_local_slice(10)

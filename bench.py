@@ -80,7 +80,9 @@ def main() -> None:
     data = engine.device_data(ds)
 
     host_rng = np.random.default_rng(1)
-    steps_per_epoch = n // batch
+    # the epoch scan runs ceil(n/batch) steps (plan_epoch_indices wrap-pads
+    # the permutation), so that is the image count actually processed
+    steps_per_epoch = -(-n // batch)
 
     # warmup (compile), then RAMP: an idle tunnel TPU starts at a low power
     # state and takes seconds of sustained load to reach full clocks —

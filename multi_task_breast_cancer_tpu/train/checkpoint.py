@@ -18,6 +18,7 @@ import logging
 import os
 from typing import Dict, Optional, Tuple
 
+import jax
 from flax import serialization
 
 from multi_task_breast_cancer_tpu.train.state import TrainState
@@ -65,18 +66,45 @@ def _template(state: TrainState) -> dict:
     }
 
 
+def _check_shapes(template: dict, payload: dict) -> None:
+    """flax's from_bytes validates the KEY SET but silently restores
+    mismatched leaf SHAPES; torch's load_state_dict (the reference restore,
+    ``models.py:29-31``) errors on size mismatch — match that contract."""
+    t_leaves = jax.tree_util.tree_leaves_with_path(template["model_state_dict"])
+    p_leaves = jax.tree_util.tree_leaves(payload["model_state_dict"])
+    bad = [(jax.tree_util.keystr(path), getattr(p, "shape", ()), t.shape)
+           for (path, t), p in zip(t_leaves, p_leaves)
+           if getattr(p, "shape", ()) != t.shape]
+    if bad:
+        detail = "; ".join(f"{k}: checkpoint {cs} vs model {ms}"
+                           for k, cs, ms in bad[:5])
+        raise ValueError(
+            f"checkpoint does not fit this model: {len(bad)} parameter "
+            f"shape mismatch(es) — wrong architecture/width? ({detail})")
+
+
 def _load(path: str, template: dict) -> dict:
     if not os.path.isfile(path):
         raise ValueError(f"\n\t-> No checkpoint found at '{path}'")
     with open(path, "rb") as f:
         data = f.read()
     try:
-        return serialization.from_bytes(template, data)
+        payload = serialization.from_bytes(template, data)
+        _check_shapes(template, payload)
+        return payload
     except ValueError:
-        # legacy checkpoint (written before resume_state existed): restore
-        # without it; ``valid`` stays 0.0, marking the resume info as absent
+        # flax raises ValueError for ANY missing target key; only fall back
+        # when the serialized payload genuinely lacks the resume_state block
+        # (a legacy checkpoint written before it existed) — a blanket retry
+        # would mask real mismatches (wrong architecture/optimizer) behind a
+        # confusing legacy-template error, or worse, silently restart a fold
+        # from scratch on an internal resume_state key skew
+        raw = serialization.msgpack_restore(data)
+        if not (isinstance(raw, dict) and "resume_state" not in raw):
+            raise
         legacy = {k: v for k, v in template.items() if k != "resume_state"}
         payload = serialization.from_bytes(legacy, data)
+        _check_shapes(legacy, payload)
         payload["resume_state"] = dict(EMPTY_RESUME_STATE)
         return payload
 

@@ -105,13 +105,16 @@ class Engine:
         self.tx = tx
         self.cfg = cfg
         self.mesh = mesh
-        if (mesh is not None and "space" in mesh.axis_names
-                and cfg.use_transforms and cfg.fast_augmentation):
+        if (mesh is not None and cfg.use_transforms and cfg.fast_augmentation
+                and ("space" in mesh.axis_names or mesh.devices.size > 1)):
             raise ValueError(
-                "fast_augmentation processes whole image planes in one "
-                "core's VMEM and cannot run spatially partitioned; disable "
-                "training.fast_augmentation or set "
-                "training.spatial_partitions: 1")
+                "fast_augmentation cannot run spatially partitioned (whole "
+                "image planes must sit in one core's VMEM) and its Mosaic "
+                "kernel has no GSPMD partitioning rule for multi-chip "
+                "meshes (XLA would replicate the full-batch augmentation "
+                "on every chip, or fail to compile); use the exact "
+                "augmentation path (training.fast_augmentation: false) "
+                "when training on more than one device")
         if cfg.seg_criterion == "DICE":
             # custom-VJP fused dice: identical values/grads (tests), no
             # spatial tape — only two scalars per plane survive to backward
@@ -172,14 +175,9 @@ class Engine:
             # (AdityanNetwork.py is absent from the factory), so no reference
             # loss exists for the reconstruction head — it is excluded here and
             # the seg+cls pair trains with the standard multitask objective.
-            cls, rec, seg = out
-            seg_loss, cls_loss = L.apply_criterion_multitask(
-                self._seg_crit, masks, seg, self._cls_crit, cls_targets, cls,
-                cfg.inversely_weighted)
-            loss = cfg.alpha * seg_loss + (1 - cfg.alpha) * cls_loss
-            return loss, {"seg_out": seg, "cls_out": cls, "seg_loss": seg_loss,
-                          "cls_loss": cls_loss}
-        cls, seg = out
+            cls, _, seg = out
+        else:
+            cls, seg = out
         seg_loss, cls_loss = L.apply_criterion_multitask(
             self._seg_crit, masks, seg, self._cls_crit, cls_targets, cls,
             cfg.inversely_weighted)
@@ -468,6 +466,8 @@ class Engine:
             from multi_task_breast_cancer_tpu.parallel.mesh import replicate_to_mesh
             images = replicate_to_mesh(self.mesh, images)
         n = images.shape[0]
+        if n == 0:
+            raise ValueError("predict: empty batch (images has 0 rows)")
         if pad_to is not None and n < pad_to:
             reps = -(-(pad_to - n) // n)
             images = jnp.concatenate([images] + [images] * reps, axis=0)[:pad_to]
@@ -526,6 +526,9 @@ class Engine:
             n = a.shape[0]
             if pad_to is None or n >= pad_to:
                 return a
+            if n == 0:
+                raise ValueError("device_data: empty dataset cannot be "
+                                 f"wrap-padded to {pad_to} rows")
             reps = -(-(pad_to - n) // n)
             return np.concatenate([a] + [a] * reps, axis=0)[:pad_to]
 

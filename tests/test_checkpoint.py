@@ -178,3 +178,31 @@ def test_resume_state_valid_marker_survives_zero_lr(tmp_path):
     assert rstate["valid"] == 1.0
     assert rstate["sched_lr"] == 0.0
     assert rstate["patience"] == 2.0
+
+
+def test_architecture_mismatch_surfaces_real_error(tmp_path):
+    """Loading a checkpoint into a DIFFERENT architecture must raise the
+    original key-mismatch error — the legacy-checkpoint fallback only fires
+    when the payload genuinely lacks ``resume_state`` (regression: a blanket
+    retry used to mask arch mismatches behind a legacy-template error)."""
+    import pytest
+
+    engine, state, ds = _setup()
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state, epoch=0, val_loss=1.0)
+
+    # same tree structure, different widths -> leaf SHAPE mismatch
+    other_model = init_segmentation_model("BTSUNet", width=8)
+    other = create_train_state(other_model, engine.tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 1)))
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_pretrained_model(other, path)
+
+    # different architecture -> key-set mismatch: the original flax error
+    # must surface, not the legacy-template fallback's
+    unet = init_segmentation_model("UNet", width=4)
+    other = create_train_state(unet, engine.tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 1)))
+    with pytest.raises(ValueError) as exc:
+        load_pretrained_model(other, path)
+    assert "resume_state" not in str(exc.value)  # real cause, not the fallback

@@ -30,6 +30,20 @@ def ab():
             for name, var in data["variants"].items()}
 
 
+def test_artifact_provenance_matches_harness():
+    """The committed artifact's recorded protocol must match the current
+    bench_ablation.py constants — a drifted harness (difficulty/epochs/CV
+    recalibration committed without regenerating ABLATION_r03.json) would
+    silently invalidate every ordering assertion below."""
+    import bench_ablation as BA
+
+    cfg = json.loads(ART.read_text())["config"]
+    assert cfg["difficulty"] == BA.DIFFICULTY
+    assert cfg["epochs"] == BA.EPOCHS
+    assert cfg["cv"] == BA.CV
+    assert cfg["seed"] == BA.SEED
+
+
 def test_benchmark_is_not_saturated(ab):
     """A saturated benchmark (DSC≈1/ACC≈1) cannot detect regressions; the MT
     row must sit in the reference's regime."""

@@ -289,6 +289,8 @@ def main() -> None:
     out = {
         "config": {"model": "MTnnUNet", "epochs": EPOCHS, "cv": CV,
                    "batch_size": BATCH, "seed": SEED, "difficulty": DIFFICULTY,
+                   "generator_fingerprint":
+                       synthetic.hard_calibration_fingerprint(),
                    "class_counts": {"benign": 222, "malignant": 164,
                                     "normal": 64},
                    "data": "synthetic calibrated-hard BUSI-like "

@@ -29,6 +29,15 @@ def main() -> None:
     from multi_task_breast_cancer_tpu.train.driver import run_experiment
 
     baseline = json.loads(Path("ABLATION_r03.json").read_text())
+    fp = synthetic.hard_calibration_fingerprint()
+    base_fp = baseline["config"].get("generator_fingerprint")
+    if base_fp is not None and base_fp != fp:
+        raise SystemExit(
+            f"generator calibration drift: ABLATION_r03.json was produced "
+            f"with fingerprint {base_fp}, current generator is {fp} — the "
+            f"within-fold-spread comparison would confound data "
+            f"recalibration with augmentation semantics; regenerate the "
+            f"baseline (bench_ablation.py) first")
     tmp = Path(tempfile.mkdtemp(prefix="mtbc_fastaug_"))
     root = synthetic.make_hard_busi(tmp / "busi", size=128, seed=7,
                                     difficulty=BA.DIFFICULTY)
@@ -65,6 +74,7 @@ def main() -> None:
                     "training.fast_augmentation=true (same data/seed/epochs; "
                     "harness: bench_fastaug_quality.py)",
         "platform": __import__("jax").devices()[0].platform,
+        "generator_fingerprint": fp,
         "wall_s": walls,
         "neutral": bool(all(all(v["within_fold_spread"].values())
                             for v in results.values())),

@@ -44,6 +44,32 @@ def _blob_image(rng: np.random.Generator, size: int, with_tumor: bool,
     return img.astype(np.uint8), mask
 
 
+def _wobbly_ellipse(yy: np.ndarray, xx: np.ndarray, cy: int, cx: int,
+                    ry: int, rx: int, amplitude: float, k: int,
+                    phi0: float) -> np.ndarray:
+    """Boolean region of an ellipse whose margin wobbles sinusoidally with
+    angle — the boundary formula behind lesion margins (``amplitude``/``k``
+    control spiculation)."""
+    phi = np.arctan2(yy - cy, xx - cx)
+    r_norm = np.sqrt(((yy - cy) / max(ry, 1)) ** 2
+                     + ((xx - cx) / max(rx, 1)) ** 2)
+    return r_norm <= 1.0 + amplitude * np.sin(k * phi + phi0)
+
+
+def hard_calibration_fingerprint() -> str:
+    """sha1 (12 hex chars) of the hard-fixture generator's source.
+
+    Benchmark artifacts (``ABLATION_*.json``, ``FASTAUG_QUALITY_*.json``)
+    record this stamp so a recalibration of the cue constants committed
+    WITHOUT regenerating the artifacts is detectable — the ordering tests
+    would otherwise keep certifying numbers the current generator no longer
+    produces."""
+    import hashlib
+    import inspect
+    src = inspect.getsource(_wobbly_ellipse) + inspect.getsource(_hard_image)
+    return hashlib.sha1(src.encode()).hexdigest()[:12]
+
+
 def _hard_image(rng: np.random.Generator, size: int, cls: str,
                 difficulty: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
     """Calibrated-difficulty ultrasound-like image for the table-5 ablation
@@ -84,10 +110,7 @@ def _hard_image(rng: np.random.Generator, size: int, cls: str,
             shadowed = rng.random() < 0.12
             interior = rng.uniform(0.56, 0.75)        # overlaps malignant
         phi0 = rng.uniform(0, 2 * np.pi)
-        phi = np.arctan2(yy - cy, xx - cx)
-        r_norm = np.sqrt(((yy - cy) / max(ry, 1)) ** 2
-                         + ((xx - cx) / max(rx, 1)) ** 2)
-        lesion = r_norm <= 1.0 + wobble_a * np.sin(k * phi + phi0)
+        lesion = _wobbly_ellipse(yy, xx, cy, cx, ry, rx, wobble_a, k, phi0)
         img[lesion] *= interior
         if shadowed:
             x0, x1 = max(cx - rx // 2, 0), min(cx + rx // 2 + 1, size)

@@ -42,6 +42,11 @@ def test_artifact_provenance_matches_harness():
     assert cfg["epochs"] == BA.EPOCHS
     assert cfg["cv"] == BA.CV
     assert cfg["seed"] == BA.SEED
+    if "generator_fingerprint" in cfg:  # stamped from round 3 on
+        from multi_task_breast_cancer_tpu.data import synthetic
+        assert cfg["generator_fingerprint"] == \
+            synthetic.hard_calibration_fingerprint(), \
+            "_hard_image was recalibrated without regenerating ABLATION_r03.json"
 
 
 def test_benchmark_is_not_saturated(ab):

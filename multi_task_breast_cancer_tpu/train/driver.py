@@ -79,9 +79,17 @@ from multi_task_breast_cancer_tpu.utils.profiling import maybe_profile
 from multi_task_breast_cancer_tpu.utils.visualization import plot_evolution
 
 
+def input_channels(cfg: Config) -> int:
+    """Model input width: raw sequences + config-enabled augment channels.
+
+    THE one formula — train, serving export, predict, and the torch importer
+    all build their input shapes through here (a drifted copy would 'work'
+    silently: Flax infers channels from data)."""
+    return cfg.model.sequences + cfg.data.augmentation.n_active()
+
+
 def _build_model(cfg: Config, task: str):
-    n_augments = cfg.data.augmentation.n_active()
-    sequences = cfg.model.sequences + n_augments
+    sequences = input_channels(cfg)
     n_classes = len(cfg.data.classes)
     nw = cfg.model.nnunet_widths
     if task == "segmentation":
@@ -108,7 +116,7 @@ def build_inference_state(cfg: Config, task: str, size: int = 128,
     Keeping this in one place means a change to state construction (e.g. a
     new input-channel source) cannot silently diverge between training and
     the deployment paths."""
-    channels = cfg.model.sequences + cfg.data.augmentation.n_active()
+    channels = input_channels(cfg)
     model = _build_model(cfg, task)
     tx = init_optimizer(cfg.optimizer.opt, cfg.optimizer.lr)
     state = create_train_state(model, tx, jax.random.PRNGKey(0),
@@ -119,13 +127,19 @@ def build_inference_state(cfg: Config, task: str, size: int = 128,
 
 
 def quick_test_dice(engine: Engine, state, test_ds, fill_holes: bool = True,
-                    pad_to: int | None = None) -> float:
+                    pad_to: int | None = None, device_images=None) -> float:
     """Per-image mean test DICE (the number the seg drivers log each epoch,
     ``training_segmentation.py:179-196``) without the reference's per-epoch
-    PNG/Hausdorff overhead: one batched forward + host hole-filling."""
-    out = engine.predict(state, test_ds.images, pad_to=pad_to)
+    PNG/Hausdorff overhead: one batched forward + host hole-filling.
+
+    ``device_images``: optionally pre-placed device copy of ``test_ds.images``
+    — per-epoch callers should place the split once per fold instead of
+    re-uploading it every epoch (a host→device transfer per epoch on tunnel
+    runtimes)."""
+    images = test_ds.images if device_images is None else device_images
+    out = engine.predict(state, images, pad_to=pad_to)
     if engine.cfg.task == "multitask":
-        out = out[1]
+        out = out[-1]  # (cls, seg) or Adityan's (cls, rec, seg): seg is last
     final = out[-1] if isinstance(out, (tuple, list)) else out
     probs = 1.0 / (1.0 + np.exp(-np.asarray(final[..., 0])))
     dices = []
@@ -250,8 +264,13 @@ def _fold_plots(task: str, mode: str, metrics_path: str, run_path: str,
 
 
 def _fold_inference(task: str, n_classes: int, cfg: Config, engine,
-                    state, fold, fold_dir: str, ckpt_path: str) -> None:
-    """Testing phase on the best checkpoint."""
+                    state, fold, fold_dir: str, ckpt_path: str,
+                    pad_to: int | None = None) -> None:
+    """Testing phase on the best checkpoint.
+
+    ``pad_to`` (cross-fold max test size) lets every fold's test forward
+    reuse ONE compiled program — unequal fold sizes otherwise compile one
+    predict program each."""
     logging.info("\n\n ###############  TESTING PHASE  ###############  \n\n")
     if task != "segmentation":
         # The segmentation drivers never reload the best checkpoint — the
@@ -261,22 +280,26 @@ def _fold_inference(task: str, n_classes: int, cfg: Config, engine,
         state = load_pretrained_model(state, ckpt_path)
 
     if task == "segmentation":
-        test_results = I.inference_binary_segmentation(engine, state, fold.test, fold_dir)
+        test_results = I.inference_binary_segmentation(engine, state, fold.test,
+                                                       fold_dir, pad_to=pad_to)
         logging.info("%s", test_results.mean(numeric_only=True))
     elif task == "classification":
         if n_classes <= 2:
-            cls_results = I.inference_binary_classification(engine, state, fold.test, fold_dir)
+            cls_results = I.inference_binary_classification(
+                engine, state, fold.test, fold_dir, pad_to=pad_to)
             logging.info("\nClassification metrics:\n\n%s", pformat(
                 binary_classification_metrics(cls_results.ground_truth,
                                               cls_results.predicted_label)))
         else:
-            cls_results = I.inference_multiclass_classification(engine, state, fold.test, fold_dir)
+            cls_results = I.inference_multiclass_classification(
+                engine, state, fold.test, fold_dir, pad_to=pad_to)
             logging.info("\nClassification metrics:\n\n%s", pformat(
                 multiclass_classification_metrics(cls_results.ground_truth,
                                                   cls_results.predicted_label)))
     else:
         if n_classes <= 2:
-            seg_res, cls_res = I.inference_multitask_binary(engine, state, fold.test, fold_dir)
+            seg_res, cls_res = I.inference_multitask_binary(
+                engine, state, fold.test, fold_dir, pad_to=pad_to)
             logging.info("Segmentation metric:\n\n%s\n", seg_res.mean(numeric_only=True))
             logging.info("\nClassification metrics:\n\n%s", pformat(
                 binary_classification_metrics(cls_res.ground_truth,
@@ -286,7 +309,8 @@ def _fold_inference(task: str, n_classes: int, cfg: Config, engine,
                 engine, state, fold.test, fold_dir,
                 threshold=cfg.training.threshold_postprocessing,
                 overlap_seg_based_on_class=cfg.training.overlap_seg_based_on_class,
-                overlap_class_based_on_seg=cfg.training.overlap_class_based_on_seg)
+                overlap_class_based_on_seg=cfg.training.overlap_class_based_on_seg,
+                pad_to=pad_to)
             logging.info("Segmentation metric:\n\n%s\n", seg_res.mean(numeric_only=True))
             logging.info("\nClassification metrics:\n\n%s", pformat(
                 multiclass_classification_metrics(cls_res.ground_truth,
@@ -372,20 +396,60 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
         critical = [
             ("training.seed", cfg.training.seed, saved.training.seed),
             ("training.CV", cfg.training.CV, saved.training.CV),
+            ("training.epochs", cfg.training.epochs, saved.training.epochs),
+            ("training.max_patience", cfg.training.max_patience,
+             saved.training.max_patience),
+            ("training.alpha", cfg.training.alpha, saved.training.alpha),
+            ("training.compute_dtype", cfg.training.compute_dtype,
+             saved.training.compute_dtype),
+            ("training.fast_augmentation", cfg.training.fast_augmentation,
+             saved.training.fast_augmentation),
             ("model.architecture", cfg.model.architecture, saved.model.architecture),
             ("model.width", cfg.model.width, saved.model.width),
+            ("model.sequences", cfg.model.sequences, saved.model.sequences),
+            ("model.nnunet_widths", cfg.model.nnunet_widths,
+             saved.model.nnunet_widths),
             ("model.deep_supervision", cfg.model.deep_supervision,
              saved.model.deep_supervision),
+            ("optimizer", dataclasses.asdict(cfg.optimizer),
+             dataclasses.asdict(saved.optimizer)),
+            ("loss", dataclasses.asdict(cfg.loss), dataclasses.asdict(saved.loss)),
             ("data.batch_size", cfg.data.batch_size, saved.data.batch_size),
             ("data.input_img", cfg.data.input_img, saved.data.input_img),
             ("data.oversampling", cfg.data.oversampling, saved.data.oversampling),
             ("data.classes", list(cfg.data.classes), list(saved.data.classes)),
+            ("data.classes_weighted", cfg.data.classes_weighted,
+             saved.data.classes_weighted),
+            ("data.train_size", cfg.data.train_size, saved.data.train_size),
+            ("data.remove_outliers", cfg.data.remove_outliers,
+             saved.data.remove_outliers),
+            ("data.use_duplicated_to_train", cfg.data.use_duplicated_to_train,
+             saved.data.use_duplicated_to_train),
+            ("data.semantic_segmentation", cfg.data.semantic_segmentation,
+             saved.data.semantic_segmentation),
+            ("data.transforms", dataclasses.asdict(cfg.data.transforms),
+             dataclasses.asdict(saved.data.transforms)),
+            ("data.augmentation", cfg.data.augmentation.as_dict(),
+             saved.data.augmentation.as_dict()),
         ]
         mismatched = [(k, now, was) for k, now, was in critical if now != was]
         if mismatched:
             sys.exit("--resume: config mismatch vs the run's own config.yaml "
                      f"(resume would not reproduce the original trajectory): "
                      f"{mismatched}")
+        # task/mode are not part of config.yaml (they are the entry point):
+        # the metrics.csv header is a per-(task, mode) contract — a resume
+        # through the wrong entry point would stamp the wrong schema onto
+        # the existing rows and change fold membership (CV vs CV_PROD)
+        m0 = Path(run_path) / "fold_0" / "metrics.csv"
+        if m0.is_file():
+            header = m0.read_text().splitlines()[0].replace(" ", "")
+            want = METRIC_HEADERS[(task, mode)].replace(" ", "")
+            if header != want:
+                sys.exit(f"--resume: fold_0/metrics.csv header {header!r} does "
+                         f"not match task={task!r} mode={mode!r} ({want!r}) — "
+                         "resuming through a different entry point than the "
+                         "original run")
     if config_src and Path(config_src).exists():
         if Path(config_src).resolve() != run_cfg_yaml.resolve():
             shutil.copyfile(config_src, run_cfg_yaml)
@@ -407,7 +471,7 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
     # ``model.sequences`` parity (PARITY D12): Flax infers input channels from
     # the data, so a wrong value would silently "work" where the reference's
     # torch conv errors with a channel mismatch — validate it explicitly.
-    expected_ch = cfg.model.sequences + cfg.data.augmentation.n_active()
+    expected_ch = input_channels(cfg)
     actual_ch = folds[0].train.images.shape[-1]
     if actual_ch != expected_ch:
         raise ValueError(
@@ -493,6 +557,13 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
         train_data = engine.device_data(fold.train, pad_to=max_train_n)
         val_data = engine.device_data(fold.val) if fold.val is not None else None
         step_valid = step_valid_mask(len(fold.train), B, max_steps)
+        test_images_dev = None
+        if task == "segmentation" and not cfg.training.per_epoch_test_artifacts:
+            # the per-epoch quick-dice forward reuses this single placement
+            # instead of re-uploading the test split every epoch
+            test_images_dev = (replicate_to_mesh(mesh, fold.test.images)
+                               if mesh is not None
+                               else jnp.asarray(fold.test.images))
 
         best_validation_loss = 1_000_000.0
         patience = 0
@@ -595,11 +666,13 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
                     # PNGs and per-image CSV; metrics.csv Test column is the
                     # same per-image mean Dice either way (PARITY D10)
                     test_results = I.inference_binary_segmentation(
-                        engine, state, fold.test, f"{run_path}/fold_{n}")
+                        engine, state, fold.test, f"{run_path}/fold_{n}",
+                        pad_to=max_test_n)
                     test_dice = float(test_results["DICE"].mean())
                 else:
                     test_dice = quick_test_dice(engine, state, fold.test,
-                                                pad_to=max_test_n)
+                                                pad_to=max_test_n,
+                                                device_images=test_images_dev)
             else:
                 test_dice = None
             line = _log_epoch(task, mode, n_classes, epoch, current_lr, tm, vm,
@@ -644,7 +717,7 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
 
         _fold_plots(task, mode, metrics_path, run_path, n)
         _fold_inference(task, n_classes, cfg, engine, state, fold,
-                        f"{run_path}/fold_{n}", ckpt_path)
+                        f"{run_path}/fold_{n}", ckpt_path, pad_to=max_test_n)
         # end-of-fold marker: --resume skips folds that reached this point
         (Path(f"{run_path}/fold_{n}") / ".fold_complete").touch()
 

@@ -53,7 +53,8 @@ def save_binary_segmentation(seg: np.ndarray, path: str, value_non_zero: int = 2
         seg = seg[..., 0] if seg.shape[-1] in (1,) else seg[0]
     seg = seg.astype(int).copy()
     seg[seg > 0] = value_non_zero
-    cv2.imwrite(path, seg)
+    # uint8: cv2 only writes deeper ints via a warned CV_8U fallback
+    cv2.imwrite(path, seg.astype(np.uint8))
 
 
 def save_features_map(seg: np.ndarray, path: str) -> None:
@@ -69,9 +70,13 @@ def save_features_map(seg: np.ndarray, path: str) -> None:
     cv2.imwrite(path, scaled.astype(np.uint8))
 
 
-def _forward_seg(engine, state, test_ds: ArrayDataset):
-    """One batched forward; returns (per-head list or single, final logits)."""
-    out = engine.predict(state, test_ds.images)
+def _forward_seg(engine, state, test_ds: ArrayDataset, pad_to=None):
+    """One batched forward; returns (per-head list or single, final logits).
+
+    ``pad_to`` (the driver passes the cross-fold max test size) wrap-pads the
+    batch so every fold reuses ONE compiled forward program — without it each
+    distinct test-set size costs a fresh XLA compile."""
+    out = engine.predict(state, test_ds.images, pad_to=pad_to)
     if engine.cfg.task == "multitask":
         if isinstance(out, tuple) and len(out) == 3:
             # Adityan's (cls, reconstruction, seg) triple: no reference
@@ -100,9 +105,10 @@ def _cls_logits_np(cls_out) -> np.ndarray:
 
 
 def inference_binary_segmentation(engine, state, test_ds: ArrayDataset, path: str,
-                                  fill_holes: bool = True) -> pd.DataFrame:
+                                  fill_holes: bool = True,
+                                  pad_to=None) -> pd.DataFrame:
     """``models.py:39-100`` equivalent."""
-    _, seg_out = _forward_seg(engine, state, test_ds)
+    _, seg_out = _forward_seg(engine, state, test_ds, pad_to)
     heads = _seg_heads_np(seg_out)
     is_ds = isinstance(heads, list)
     final = heads[-1] if is_ds else heads
@@ -132,10 +138,10 @@ def inference_binary_segmentation(engine, state, test_ds: ArrayDataset, path: st
     return results
 
 
-def inference_multitask_binary(engine, state, test_ds: ArrayDataset, path: str
-                               ) -> Tuple[pd.DataFrame, pd.DataFrame]:
+def inference_multitask_binary(engine, state, test_ds: ArrayDataset, path: str,
+                               pad_to=None) -> Tuple[pd.DataFrame, pd.DataFrame]:
     """``models.py:186-270`` equivalent (binary classes, no PR)."""
-    cls_out, seg_out = _forward_seg(engine, state, test_ds)
+    cls_out, seg_out = _forward_seg(engine, state, test_ds, pad_to)
     heads = _seg_heads_np(seg_out)
     is_ds = isinstance(heads, list)
     final = heads[-1] if is_ds else heads
@@ -172,10 +178,11 @@ def inference_multitask_binary(engine, state, test_ds: ArrayDataset, path: str
 def inference_multitask_multiclass(engine, state, test_ds: ArrayDataset, path: str,
                                    threshold: int = 0,
                                    overlap_seg_based_on_class: bool = False,
-                                   overlap_class_based_on_seg: bool = False
+                                   overlap_class_based_on_seg: bool = False,
+                                   pad_to=None
                                    ) -> Tuple[pd.DataFrame, pd.DataFrame]:
     """``models.py:273-397`` equivalent — the full PR module."""
-    cls_out, seg_out = _forward_seg(engine, state, test_ds)
+    cls_out, seg_out = _forward_seg(engine, state, test_ds, pad_to)
     heads = _seg_heads_np(seg_out)
     is_ds = isinstance(heads, list)
     final = heads[-1] if is_ds else heads
@@ -295,9 +302,9 @@ def inference_multilabel_segmentation(engine, state, test_ds: ArrayDataset,
 
 
 def inference_multiclass_classification(engine, state, test_ds: ArrayDataset,
-                                        path: str) -> pd.DataFrame:
+                                        path: str, pad_to=None) -> pd.DataFrame:
     """``models.py:400-456`` equivalent."""
-    logits = _cls_logits_np(engine.predict(state, test_ds.images))
+    logits = _cls_logits_np(engine.predict(state, test_ds.images, pad_to=pad_to))
     metrics = pd.DataFrame({
         "patient_id": test_ds.patient_ids,
         "ground_truth": test_ds.labels.astype(int),
@@ -308,10 +315,10 @@ def inference_multiclass_classification(engine, state, test_ds: ArrayDataset,
 
 
 def inference_binary_classification(engine, state, test_ds: ArrayDataset,
-                                    path: str) -> pd.DataFrame:
+                                    path: str, pad_to=None) -> pd.DataFrame:
     """``models.py:459-505`` equivalent (writes ``results.csv`` like the
     reference — note the different filename vs the multiclass variant)."""
-    logits = _cls_logits_np(engine.predict(state, test_ds.images))
+    logits = _cls_logits_np(engine.predict(state, test_ds.images, pad_to=pad_to))
     metrics = pd.DataFrame({
         "patient_id": test_ds.patient_ids,
         "ground_truth": test_ds.labels.astype(float),

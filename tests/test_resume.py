@@ -148,3 +148,34 @@ def test_resume_rejects_mismatched_config(tmp_path):
     with pytest.raises(SystemExit, match="config mismatch"):
         run_experiment(cfg, task="segmentation", mode="CV",
                        resume_dir=str(run_dir))
+
+
+def test_resume_rejects_changed_optimizer_and_wrong_mode(tmp_path):
+    """The guard must also cover trajectory-critical settings beyond the
+    original short list (optimizer/loss/alpha/...), and a resume through a
+    different entry point (CV vs CV_PROD) must be caught via the metrics.csv
+    header contract."""
+    from multi_task_breast_cancer_tpu.config import DEFAULT_CONFIG_YAML
+
+    run_dir = tmp_path / "20260101_000000_BTSUNet_4_batch_4_x"
+    (run_dir / "fold_0").mkdir(parents=True)
+    (run_dir / "config.yaml").write_text(DEFAULT_CONFIG_YAML)
+
+    root = synthetic.make_preprocessed_busi(tmp_path / "busi", n_per_class=4,
+                                            size=32)
+    cfg = _config(root, "segmentation")
+    cfg.optimizer.lr = 0.5  # changed LR ⇒ different trajectory from resume on
+    with pytest.raises(SystemExit, match="config mismatch"):
+        run_experiment(cfg, task="segmentation", mode="CV",
+                       resume_dir=str(run_dir))
+
+    # wrong entry point: CV metrics header, resumed as CV_PROD
+    cfg = _config(root, "segmentation")
+    from multi_task_breast_cancer_tpu.config import config_to_yaml
+    (run_dir / "config.yaml").write_text(config_to_yaml(cfg))
+    from multi_task_breast_cancer_tpu.train.driver import METRIC_HEADERS
+    (run_dir / "fold_0" / "metrics.csv").write_text(
+        METRIC_HEADERS[("segmentation", "CV")] + "\n")
+    with pytest.raises(SystemExit, match="entry point"):
+        run_experiment(cfg, task="segmentation", mode="CV_PROD",
+                       resume_dir=str(run_dir))

@@ -19,7 +19,7 @@ Semantics parity (not code translation) with the reference blocks:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -50,13 +50,6 @@ def conv1x1(features: int, *, use_bias: bool = True, name: Optional[str] = None,
                    kernel_init=kaiming_normal, name=name, dtype=dtype)
 
 
-def conv5x5(features: int, *, use_bias: bool = False, name: Optional[str] = None,
-            dtype: Optional[Dtype] = None) -> nn.Conv:
-    """5×5 conv (reference FSB_BTS_UNet.py conv5x5)."""
-    return nn.Conv(features, (5, 5), padding=((1, 1), (1, 1)), use_bias=use_bias,
-                   kernel_init=kaiming_normal, name=name, dtype=dtype)
-
-
 def deconv(features: int, kernel: int, *, name: Optional[str] = None,
            dtype: Optional[Dtype] = None) -> nn.ConvTranspose:
     """ConvTranspose with kernel==stride (exact k× upsampling, no overlap)."""
@@ -84,7 +77,6 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
     (``src/models/segmentation/BTS_UNet.py:96-98``); on TPU ``jnp.repeat`` along
     H and W lowers to cheap broadcasts.
     """
-    b, h, w, c = x.shape
     x = jnp.repeat(x, 2, axis=1)
     x = jnp.repeat(x, 2, axis=2)
     return x

@@ -71,6 +71,38 @@ def _nnunet_kw(nnunet_widths) -> dict:
     return {"widths": widths}
 
 
+# architectures whose feature sizes are hard-coded (model.width is ignored;
+# the nnU-Net family is sized via model.nnunet_widths instead) and whose
+# deep-supervision behavior is fixed (always-on 4-head nnU-Nets; single-head
+# MONAI nets). The reference factory silently ignores these knobs too —
+# warn so a config "change" that cannot take effect is at least visible.
+_WIDTH_IGNORED = {"nnUNet", "UnetPlusPlus", "SegResNet", "SwinUNETR",
+                  "UNetPlusPlusClassifier", "nnUNetClassifier",
+                  "MTUNetPlusPlus", "MTnnUNet"}
+_DS_FIXED = {"UNet": False, "AttentionUNet": False, "ResidualUNet": False,
+             "SegResNet": False, "SwinUNETR": False,
+             "nnUNet": True, "MTnnUNet": True, "Adityan": False}
+
+
+_DEFAULT_WIDTH = 24  # ModelConfig.width default — not a deliberate override
+
+
+def _warn_ignored_knobs(architecture: str, width=None,
+                        deep_supervision=None) -> None:
+    if width not in (None, _DEFAULT_WIDTH) and architecture in _WIDTH_IGNORED:
+        logging.warning(
+            "model.width=%s is ignored by %s (fixed feature sizes%s)",
+            width, architecture,
+            "; use model.nnunet_widths" if "nnUNet" in architecture else "")
+    fixed = _DS_FIXED.get(architecture)
+    if deep_supervision is not None and fixed is not None \
+            and deep_supervision != fixed:
+        logging.warning(
+            "model.deep_supervision=%s is ignored by %s (deep supervision "
+            "is %s for this architecture)", deep_supervision, architecture,
+            "always on" if fixed else "not available")
+
+
 def _reject_nnunet_widths(architecture: str, nnunet_widths) -> None:
     """``model.nnunet_widths`` only applies to the nnU-Net family; silently
     training a different architecture at default widths would hide a config
@@ -86,6 +118,7 @@ def init_segmentation_model(architecture: str, sequences: int = 1, regions: int 
                             width: int = 48, deep_supervision: bool = False,
                             nnunet_widths=None) -> nn.Module:
     logging.info("Creating %s model (fed with %d sequences)", architecture, sequences)
+    _warn_ignored_knobs(architecture, width, deep_supervision)
     if architecture != "nnUNet":
         _reject_nnunet_widths(architecture, nnunet_widths)
     if architecture == "BTSUNet":
@@ -114,6 +147,7 @@ def init_segmentation_model(architecture: str, sequences: int = 1, regions: int 
 def init_classification_model(architecture: str, sequences: int = 1, n_classes: int = 3,
                               width: int = 48, nnunet_widths=None) -> nn.Module:
     logging.info("Creating %s model (fed with %d sequences)", architecture, sequences)
+    _warn_ignored_knobs(architecture, width)
     if architecture != "nnUNetClassifier":
         _reject_nnunet_widths(architecture, nnunet_widths)
     if architecture == "BTSUNetClassifier":
@@ -132,6 +166,7 @@ def init_multitask_model(architecture: str, sequences: int = 1, regions: int = 1
                          deep_supervision: bool = False,
                          nnunet_widths=None) -> nn.Module:
     logging.info("Creating %s model (fed with %d sequences)", architecture, sequences)
+    _warn_ignored_knobs(architecture, width, deep_supervision)
     if architecture != "MTnnUNet":
         _reject_nnunet_widths(architecture, nnunet_widths)
     if architecture == "Multi_BTSUNet":

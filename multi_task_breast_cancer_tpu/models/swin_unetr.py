@@ -182,7 +182,11 @@ class UnetrUpBlock(nn.Module):
 
 
 class SwinUNETR(nn.Module):
-    """2-D Swin-UNETR. Input H=W must be a multiple of 32·window (128 ✓)."""
+    """2-D Swin-UNETR. Input H=W such that every stage grid H/2..H/32 is
+    either window-divisible or smaller than the window — any power of two
+    ≥ 32 (the reference's 128 ✓) and any multiple of 256 qualify; sizes like
+    96/160/192 do NOT (a mid-stage grid of e.g. 12 cannot be partitioned
+    into 8-wide windows). Validated with a clear error at trace time."""
 
     regions: int = 1
     feature_size: int = 24
@@ -194,6 +198,17 @@ class SwinUNETR(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         f = self.feature_size
+
+        hh, ww = x.shape[1], x.shape[2]
+        stage_grids = [hh // 2 // 2 ** s for s in range(4)]  # windowed grids
+        if (hh != ww or hh % 32
+                or any(g >= WINDOW and g % WINDOW for g in stage_grids)
+                or any(g % 2 for g in stage_grids)):
+            raise ValueError(
+                f"SwinUNETR input {hh}x{ww}: every windowed stage grid "
+                f"{stage_grids} must be even and window({WINDOW})-divisible "
+                f"once >= the window — use a power-of-two size >= 32 or a "
+                f"multiple of 256")
 
         # full-resolution residual encoder on raw input
         enc0 = UnetrBasicBlock(f, name="encoder0")(x)

@@ -390,8 +390,11 @@ def main() -> None:
     from multi_task_breast_cancer_tpu.train.checkpoint import save_checkpoint
     from multi_task_breast_cancer_tpu.train.driver import build_inference_state
 
+    # weights_only: the reference checkpoints are plain dicts of tensors +
+    # scalars (training_multitask.py:243-249) — never let a tampered pickle
+    # execute code at load time
     ckpt = torch.load(args.torch_checkpoint, map_location="cpu",
-                      weights_only=False)
+                      weights_only=True)
     sd = ckpt.get("model_state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
     epoch = int(ckpt.get("epoch", 0)) if isinstance(ckpt, dict) else 0
     val_loss = float(ckpt.get("val_loss", float("inf"))) \

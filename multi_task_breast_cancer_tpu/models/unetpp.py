@@ -48,27 +48,27 @@ class UNetPlusPlusNest(nn.Module):
 
         x_0_0 = TwoConv(fea[0], self.dropout, name="conv_0_0")(x, deterministic=det)
         x_1_0 = Down(fea[1], self.dropout, name="conv_1_0")(x_0_0, deterministic=det)
-        x_0_1 = UpCat(fea[1], fea[0], halves=False, name="upcat_0_1")(x_1_0, x_0_0, deterministic=det)
+        x_0_1 = UpCat(fea[1], fea[0], halves=False, dropout=self.dropout, name="upcat_0_1")(x_1_0, x_0_0, deterministic=det)
 
         x_2_0 = Down(fea[2], self.dropout, name="conv_2_0")(x_1_0, deterministic=det)
-        x_1_1 = UpCat(fea[2], fea[1], name="upcat_1_1")(x_2_0, x_1_0, deterministic=det)
-        x_0_2 = UpCat(fea[1], fea[0], halves=False, name="upcat_0_2")(
+        x_1_1 = UpCat(fea[2], fea[1], dropout=self.dropout, name="upcat_1_1")(x_2_0, x_1_0, deterministic=det)
+        x_0_2 = UpCat(fea[1], fea[0], halves=False, dropout=self.dropout, name="upcat_0_2")(
             x_1_1, jnp.concatenate([x_0_0, x_0_1], axis=-1), deterministic=det)
 
         x_3_0 = Down(fea[3], self.dropout, name="conv_3_0")(x_2_0, deterministic=det)
-        x_2_1 = UpCat(fea[3], fea[2], name="upcat_2_1")(x_3_0, x_2_0, deterministic=det)
-        x_1_2 = UpCat(fea[2], fea[1], name="upcat_1_2")(
+        x_2_1 = UpCat(fea[3], fea[2], dropout=self.dropout, name="upcat_2_1")(x_3_0, x_2_0, deterministic=det)
+        x_1_2 = UpCat(fea[2], fea[1], dropout=self.dropout, name="upcat_1_2")(
             x_2_1, jnp.concatenate([x_1_0, x_1_1], axis=-1), deterministic=det)
-        x_0_3 = UpCat(fea[1], fea[0], halves=False, name="upcat_0_3")(
+        x_0_3 = UpCat(fea[1], fea[0], halves=False, dropout=self.dropout, name="upcat_0_3")(
             x_1_2, jnp.concatenate([x_0_0, x_0_1, x_0_2], axis=-1), deterministic=det)
 
         x_4_0 = Down(fea[4], self.dropout, name="conv_4_0")(x_3_0, deterministic=det)
-        x_3_1 = UpCat(fea[4], fea[3], name="upcat_3_1")(x_4_0, x_3_0, deterministic=det)
-        x_2_2 = UpCat(fea[3], fea[2], name="upcat_2_2")(
+        x_3_1 = UpCat(fea[4], fea[3], dropout=self.dropout, name="upcat_3_1")(x_4_0, x_3_0, deterministic=det)
+        x_2_2 = UpCat(fea[3], fea[2], dropout=self.dropout, name="upcat_2_2")(
             x_3_1, jnp.concatenate([x_2_0, x_2_1], axis=-1), deterministic=det)
-        x_1_3 = UpCat(fea[2], fea[1], name="upcat_1_3")(
+        x_1_3 = UpCat(fea[2], fea[1], dropout=self.dropout, name="upcat_1_3")(
             x_2_2, jnp.concatenate([x_1_0, x_1_1, x_1_2], axis=-1), deterministic=det)
-        x_0_4 = UpCat(fea[1], fea[5], halves=False, name="upcat_0_4")(
+        x_0_4 = UpCat(fea[1], fea[5], halves=False, dropout=self.dropout, name="upcat_0_4")(
             x_1_3, jnp.concatenate([x_0_0, x_0_1, x_0_2, x_0_3], axis=-1), deterministic=det)
 
         return {"x_0_1": x_0_1, "x_0_2": x_0_2, "x_0_3": x_0_3, "x_0_4": x_0_4,
@@ -81,16 +81,17 @@ class UNetPlusPlusClsHead(nn.Module):
 
     features: Sequence[int] = MT_FEATURES
     n_out: int = 3
+    dropout: float = 0.0
 
     @nn.compact
     def __call__(self, x_3_0, x_4_0, x_3_1, *, deterministic: bool = True) -> jnp.ndarray:
         fea = tuple(self.features)
-        process_level_3 = Down(fea[4], name="process_level_3")
+        process_level_3 = Down(fea[4], self.dropout, name="process_level_3")
         feats = jnp.concatenate(
             [process_level_3(x_3_0, deterministic=deterministic),
              x_4_0,
              process_level_3(x_3_1, deterministic=deterministic)], axis=-1)
-        feats = TwoConv(512, name="cls_convs")(feats, deterministic=deterministic)
+        feats = TwoConv(512, self.dropout, name="cls_convs")(feats, deterministic=deterministic)
         feats = global_avg_pool(feats)
         feats = nn.Dense(256, name="fc1")(feats)
         feats = nn.relu(feats)
@@ -140,9 +141,9 @@ class UNetPlusPlusClassifier(nn.Module):
         x_2_0 = Down(fea[2], self.dropout, name="conv_2_0")(x_1_0, deterministic=det)
         x_3_0 = Down(fea[3], self.dropout, name="conv_3_0")(x_2_0, deterministic=det)
         x_4_0 = Down(fea[4], self.dropout, name="conv_4_0")(x_3_0, deterministic=det)
-        x_3_1 = UpCat(fea[4], fea[3], name="upcat_3_1")(x_4_0, x_3_0, deterministic=det)
+        x_3_1 = UpCat(fea[4], fea[3], dropout=self.dropout, name="upcat_3_1")(x_4_0, x_3_0, deterministic=det)
 
-        return UNetPlusPlusClsHead(fea, n_out, name="cls_head")(
+        return UNetPlusPlusClsHead(fea, n_out, self.dropout, name="cls_head")(
             x_3_0, x_4_0, x_3_1, deterministic=det)
 
 
@@ -173,7 +174,8 @@ class MTUNetPlusPlus(nn.Module):
         out3 = conv1x1(self.regions, name="final_conv_0_3")(nest["x_0_3"])
         out4 = conv1x1(self.regions, name="final_conv_0_4")(nest["x_0_4"])
 
-        cls = UNetPlusPlusClsHead(self.features, n_out, name="cls_head")(
+        cls = UNetPlusPlusClsHead(self.features, n_out, self.dropout,
+                                  name="cls_head")(
             nest["x_3_0"], nest["x_4_0"], nest["x_3_1"], deterministic=det)
 
         if self.deep_supervision:

@@ -141,3 +141,58 @@ def test_adityan_outputs():
     assert rec.shape == IMG
     assert seg.shape == IMG
     assert bool(jnp.all((rec >= 0) & (rec <= 1)))  # reconstruction is sigmoid-ed
+
+
+def test_unetpp_dropout_reaches_decoder_and_cls_head():
+    """Regression: dropout used to be threaded only into the UNet++ encoder
+    blocks — all 11 UpCat decoder sites and the cls head silently ran at 0.0
+    (the reference passes dropout to every UpCat and the classifier convs,
+    MTUNetPlusPlus.py:54-90). Source guard + functional check."""
+    import inspect
+    import re
+
+    import numpy as np
+
+    from multi_task_breast_cancer_tpu.models import unetpp
+
+    src = inspect.getsource(unetpp)
+    upcats = re.findall(r"UpCat\([^)]*\)", src, flags=re.S)
+    assert upcats and all("dropout=self.dropout" in c for c in upcats), upcats
+    heads = [h for h in re.findall(r"UNetPlusPlusClsHead\([^)]*\)", src, re.S)
+             if "nn.Module" not in h]  # drop the class declaration itself
+    assert heads and all("self.dropout" in h for h in heads), heads
+
+    # functional: with dropout>0 the training-mode forward depends on the
+    # dropout rng; with dropout=0 it equals the deterministic forward
+    x = jnp.linspace(0, 255, 1 * 32 * 32 * 1).reshape(1, 32, 32, 1)
+    model = unetpp.MTUNetPlusPlus(features=(4, 8, 8, 8, 8, 4), dropout=0.5)
+    params = model.init(jax.random.PRNGKey(0), x)
+    a = model.apply(params, x, train=True,
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+    b = model.apply(params, x, train=True,
+                    rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(a[1]), np.asarray(b[1]))
+
+    zero = unetpp.MTUNetPlusPlus(features=(4, 8, 8, 8, 8, 4), dropout=0.0)
+    params0 = zero.init(jax.random.PRNGKey(0), x)
+    t = zero.apply(params0, x, train=True,
+                   rngs={"dropout": jax.random.PRNGKey(1)})
+    e = zero.apply(params0, x, train=False)
+    np.testing.assert_array_equal(np.asarray(t[1]), np.asarray(e[1]))
+
+
+def test_swin_unetr_rejects_unpartitionable_sizes():
+    """192² passes the old 'multiple of 32' folklore but stage 3's 12-wide
+    grid cannot be split into 8-wide windows — the model must say so clearly
+    instead of failing with an opaque reshape error (64² works: grids below
+    the window fall back to grid-sized windows)."""
+    import pytest
+
+    from multi_task_breast_cancer_tpu.models.swin_unetr import SwinUNETR
+
+    model = SwinUNETR(regions=1, feature_size=6)
+    with pytest.raises(ValueError, match="windowed stage grid"):
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 192, 192, 1)))
+    out = model.init_with_output(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 64, 64, 1)))[0]
+    assert out.shape == (1, 64, 64, 1)

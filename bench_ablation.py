@@ -56,6 +56,15 @@ def _config(root: Path, oversampling: bool, architecture: str = "MTnnUNet"):
     )
 
 
+def _per_class_recall(cls: pd.DataFrame) -> dict:
+    """recall_{benign,malignant,normal}: documents WHICH classes DO rescues
+    (the table-5 ACC-lift mechanism is minority-class recall)."""
+    correct = (cls["ground_truth"] == cls["predicted_label"])
+    by_class = correct.groupby(cls["ground_truth"]).mean().to_dict()
+    return {f"recall_{name}": round(float(by_class.get(label, np.nan)), 4)
+            for label, name in enumerate(("benign", "malignant", "normal"))}
+
+
 def _fold_metrics(seg_csv: Path, cls_csv: Path) -> dict:
     from sklearn.metrics import f1_score
     seg = pd.read_csv(seg_csv)
@@ -73,6 +82,7 @@ def _fold_metrics(seg_csv: Path, cls_csv: Path) -> dict:
         "f1w": round(float(f1_score(cls["ground_truth"],
                                     cls["predicted_label"],
                                     average="weighted")), 4),
+        **_per_class_recall(cls),
     }
 
 
@@ -183,7 +193,8 @@ def _driver_fold_metrics(run_path: Path, task: str) -> list:
                                        == cls["predicted_label"]).mean()), 4),
                    "f1w": round(float(f1_score(cls["ground_truth"],
                                                cls["predicted_label"],
-                                               average="weighted")), 4)}
+                                               average="weighted")), 4),
+                   **_per_class_recall(cls)}
         rows.append(row)
     return rows
 
@@ -230,9 +241,11 @@ def _posthoc_inference(cfg, run_path: Path, use_pr: bool, out_root: Path) -> lis
 
 
 def _summarize(rows: list) -> dict:
+    # nanmean: a fold whose test split lacks a class (possible for the
+    # 64-image 'normal' minority under plain KFold) contributes no recall
     keys = rows[0].keys()
-    return {k: {"mean": round(float(np.mean([r[k] for r in rows])), 4),
-                "std": round(float(np.std([r[k] for r in rows])), 4)}
+    return {k: {"mean": round(float(np.nanmean([r[k] for r in rows])), 4),
+                "std": round(float(np.nanstd([r[k] for r in rows])), 4)}
             for k in keys}
 
 

@@ -60,6 +60,8 @@ def main() -> None:
             base = baseline["variants"][name]["summary"]
             deltas, ok = {}, {}
             for metric, s in summary.items():
+                if metric not in base:  # harness gained a metric after the
+                    continue            # baseline artifact was generated
                 d = s["mean"] - base[metric]["mean"]
                 tol = max(2.0 * base[metric]["std"], 0.02)
                 deltas[metric] = round(d, 4)

@@ -211,22 +211,53 @@ def pallas_pipeline(packed: Array, batch_idx: Array, idx: Array, t1: Array,
     )(batch_idx.astype(jnp.int32), t1.astype(jnp.int32), packed, idx)
 
 
+def _execute(packed: Array, batch_idx: Array, idx: Array, t1: Array, *,
+             use_pallas: bool, interpret: bool) -> Array:
+    if use_pallas and _HAS_PLTPU and (interpret or
+                                      jax.default_backend() == "tpu"):
+        return pallas_pipeline(packed, batch_idx, idx, t1, interpret=interpret)
+    planes = jnp.take(packed, batch_idx, axis=0)
+    return reference_pipeline(planes, idx, t1)
+
+
 def fast_joint_transform(packed: Array, batch_idx: Array, key: jax.Array, *,
                          p_hflip: float = 0.5, p_vflip: float = 0.5,
                          max_angle: float = 360.0,
                          use_pallas: bool = True,
-                         interpret: bool = False) -> Array:
+                         interpret: bool = False,
+                         mesh=None) -> Array:
     """Batch selection + joint flips/rotation on the packed fold stack.
+
+    Data-parallel meshes are supported by ``shard_map``-ing the executor over
+    the ``'data'`` axis: the packed fold stack is replicated (matching
+    ``Engine.device_data``'s placement), the per-sample gather parameters and
+    batch rows shard on the batch axis, and each chip runs the Pallas kernel
+    on its own B/n slice — GSPMD never sees the kernel, so no partitioning
+    rule is needed. The flip/angle DRAWS happen once, outside the shard_map,
+    so the augmented batch is bit-identical to the single-device path.
+    Spatial ('space'>1) meshes are rejected upstream (``Engine.__init__``):
+    the kernel needs whole image planes in one core's VMEM.
 
     Returns the augmented (B, W, W, 2) bf16 [mask|image] batch."""
     b = batch_idx.shape[0]
     w = packed.shape[-1]
     idx, t1 = build_pipeline_params(key, b, w, p_hflip=p_hflip,
                                     p_vflip=p_vflip, max_angle=max_angle)
-    if use_pallas and _HAS_PLTPU and (interpret or
-                                      jax.default_backend() == "tpu"):
-        out = pallas_pipeline(packed, batch_idx, idx, t1, interpret=interpret)
+    n_data = 1 if mesh is None else mesh.shape.get("data", 1)
+    if n_data > 1:
+        from jax.sharding import PartitionSpec as P
+        if b % n_data:
+            raise ValueError(
+                f"fast_augmentation under a data mesh needs batch_size ({b}) "
+                f"divisible by the 'data' axis size ({n_data})")
+        run = jax.shard_map(
+            lambda p, bi, ix, t: _execute(p, bi, ix, t, use_pallas=use_pallas,
+                                          interpret=interpret),
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P("data")),
+            out_specs=P("data"), check_vma=False)
+        out = run(packed, batch_idx, idx, t1)
     else:
-        planes = jnp.take(packed, batch_idx, axis=0)
-        out = reference_pipeline(planes, idx, t1)
+        out = _execute(packed, batch_idx, idx, t1, use_pallas=use_pallas,
+                       interpret=interpret)
     return unpack_bf16x2(out)

@@ -105,16 +105,19 @@ class Engine:
         self.tx = tx
         self.cfg = cfg
         self.mesh = mesh
-        if (mesh is not None and cfg.use_transforms and cfg.fast_augmentation
-                and ("space" in mesh.axis_names or mesh.devices.size > 1)):
-            raise ValueError(
-                "fast_augmentation cannot run spatially partitioned (whole "
-                "image planes must sit in one core's VMEM) and its Mosaic "
-                "kernel has no GSPMD partitioning rule for multi-chip "
-                "meshes (XLA would replicate the full-batch augmentation "
-                "on every chip, or fail to compile); use the exact "
-                "augmentation path (training.fast_augmentation: false) "
-                "when training on more than one device")
+        if mesh is not None and cfg.use_transforms and cfg.fast_augmentation:
+            if mesh.shape.get("space", 1) > 1:
+                raise ValueError(
+                    "fast_augmentation cannot run spatially partitioned "
+                    "(whole image planes must sit in one core's VMEM); use "
+                    "the exact augmentation path (training.fast_augmentation"
+                    ": false) with training.spatial_partitions")
+            n_data = mesh.shape.get("data", 1)
+            if n_data > 1 and cfg.batch_size % n_data:
+                raise ValueError(
+                    "fast_augmentation on a data-parallel mesh shard_maps "
+                    f"the kernel over 'data'; batch_size ({cfg.batch_size}) "
+                    f"must divide evenly over the {n_data} devices")
         if cfg.seg_criterion == "DICE":
             # custom-VJP fused dice: identical values/grads (tests), no
             # spatial tape — only two scalars per plane survive to backward
@@ -274,7 +277,8 @@ class Engine:
                     fast_joint_transform)
                 stack = fast_joint_transform(
                     aug_packed, batch_idx, k_aug, p_hflip=cfg.p_hflip,
-                    p_vflip=cfg.p_vflip, max_angle=cfg.max_angle)
+                    p_vflip=cfg.p_vflip, max_angle=cfg.max_angle,
+                    mesh=self.mesh)
                 msks, imgs = stack[..., :1], stack[..., 1:]
                 imgs, msks, ctgt = self._shard_batch(imgs, msks, ctgt)
             else:

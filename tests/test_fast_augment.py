@@ -163,6 +163,86 @@ def test_fast_augmentation_through_driver(tmp_path):
     assert np.isfinite(m["Train_loss"]).all()
 
 
+def test_fast_joint_transform_mesh_parity():
+    """Data-parallel execution (shard_map over 'data') must be bit-identical
+    to the single-device path: the draws happen once outside the shard_map
+    and each device augments its own B/n slice of the same parameters."""
+    from multi_task_breast_cancer_tpu.parallel.mesh import data_mesh
+
+    rng = np.random.default_rng(7)
+    stack = jnp.asarray(rng.standard_normal((10, W, W, 2)), jnp.bfloat16)
+    packed = FA.pack_bf16x2(stack)
+    bidx = jnp.asarray(rng.integers(0, 10, 16), jnp.int32)
+    key = jax.random.PRNGKey(21)
+    base = FA.fast_joint_transform(packed, bidx, key, use_pallas=False)
+    mesh = data_mesh()
+    for use_pallas, interpret in ((False, False), (True, True)):
+        sharded = FA.fast_joint_transform(packed, bidx, key, mesh=mesh,
+                                          use_pallas=use_pallas,
+                                          interpret=interpret)
+        np.testing.assert_array_equal(
+            np.asarray(base, np.float32), np.asarray(sharded, np.float32),
+            err_msg=f"use_pallas={use_pallas}")
+
+
+def test_fast_augmentation_sharded_training_matches_single_device():
+    """Engine-level: one fast-augmentation epoch with batches sharded over the
+    8-device mesh matches the single-device trajectory (the augmented batch is
+    bit-identical; only f32 reduction order may differ)."""
+    from multi_task_breast_cancer_tpu.data.dataset import ArrayDataset
+    from multi_task_breast_cancer_tpu.models import init_segmentation_model
+    from multi_task_breast_cancer_tpu.parallel.mesh import data_mesh
+    from multi_task_breast_cancer_tpu.train.loop import (
+        Engine, EngineConfig, plan_epoch_indices)
+    from multi_task_breast_cancer_tpu.train.optim import init_optimizer
+    from multi_task_breast_cancer_tpu.train.state import create_train_state
+
+    rng = np.random.default_rng(3)
+    n, H = 16, 32
+    ds = ArrayDataset(
+        images=rng.integers(0, 256, (n, H, H, 1)).astype(np.float32),
+        masks=(rng.random((n, H, H, 1)) > 0.7).astype(np.float32),
+        labels=rng.integers(0, 3, n).astype(np.int32),
+        patient_ids=np.arange(n), class_names=["benign"] * n,
+        tumor_pixels=np.zeros(n, np.int64))
+    results = {}
+    for name, mesh in (("single", None), ("sharded", data_mesh())):
+        model = init_segmentation_model("BTSUNet", width=4,
+                                        deep_supervision=False)
+        tx = init_optimizer("Adam", 1e-3)
+        engine = Engine(model, tx,
+                        EngineConfig(task="segmentation", n_classes=3,
+                                     batch_size=8, compute_dtype="bfloat16",
+                                     fast_augmentation=True),
+                        mesh=mesh)
+        state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                                   jnp.zeros((1, H, H, 1)))
+        data = engine.device_data(ds)
+        assert "aug_packed" in data
+        perm = plan_epoch_indices(n, 8, np.random.default_rng(42))
+        state, m = engine.train_epoch(state, data, perm, jax.random.PRNGKey(1))
+        ev = engine.eval_epoch(state, data)
+        results[name] = (m["loss"], ev["loss"], ev["dice"])
+    np.testing.assert_allclose(results["single"], results["sharded"],
+                               rtol=2e-3)
+
+
+def test_fast_augmentation_mesh_batch_divisibility():
+    """batch_size must divide the 'data' axis (shard_map needs even shards) —
+    rejected with a clear message at Engine construction."""
+    from multi_task_breast_cancer_tpu.models import init_segmentation_model
+    from multi_task_breast_cancer_tpu.parallel.mesh import data_mesh
+    from multi_task_breast_cancer_tpu.train.loop import Engine, EngineConfig
+    from multi_task_breast_cancer_tpu.train.optim import init_optimizer
+
+    model = init_segmentation_model("BTSUNet", width=4, deep_supervision=False)
+    with pytest.raises(ValueError, match="divide evenly"):
+        Engine(model, init_optimizer("Adam", 1e-3),
+               EngineConfig(task="segmentation", batch_size=2,
+                            compute_dtype="bfloat16", fast_augmentation=True),
+               mesh=data_mesh())
+
+
 def test_fast_augmentation_config_validation():
     """fast_augmentation demands bf16 compute and 1+1 channels."""
     from multi_task_breast_cancer_tpu.data.dataset import ArrayDataset

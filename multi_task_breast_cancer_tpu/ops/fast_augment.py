@@ -173,14 +173,46 @@ def reference_pipeline(planes: Array, idx: Array, t1: Array) -> Array:
     return jnp.where((t1 > 0)[:, None, None], xT, x)
 
 
+_LANE = 128  # TPU vreg lane width; Mosaic gathers cannot cross it
+
+
+def _lane_gather(x, idx, w):
+    """out[r, c] = x[r, idx[r, c]] with zero fill for out-of-range indices.
+
+    Mosaic lowers ``take_along_axis`` (lane axis) to ``tpu.dynamic_gather``,
+    a within-vreg shuffle: the source may not span multiple vregs along the
+    gather dimension ("Multiple source vregs along gather dimension" at
+    W=256). For W > 128 the lane axis is therefore processed in 128-wide
+    tiles: each output tile gathers from EVERY source tile with a
+    tile-local clipped index and the contributions are selected by which
+    tile the index falls in — nb² single-vreg gathers instead of one
+    unsupported wide gather, all still at VMEM speed."""
+    ok = (idx >= 0) & (idx < w)
+    if w <= _LANE:
+        g = jnp.take_along_axis(x, jnp.clip(idx, 0, w - 1), axis=1)
+        return jnp.where(ok, g, jnp.zeros_like(g))
+    assert w % _LANE == 0, w  # guarded in _execute
+    nb = w // _LANE
+    parts = []
+    for j in range(nb):
+        idx_j = idx[:, j * _LANE:(j + 1) * _LANE]
+        acc = jnp.zeros_like(idx_j)
+        for k in range(nb):
+            src = x[:, k * _LANE:(k + 1) * _LANE]
+            loc = jnp.clip(idx_j - k * _LANE, 0, _LANE - 1)
+            g = jnp.take_along_axis(src, loc, axis=1)
+            hit = (idx_j >= k * _LANE) & (idx_j < (k + 1) * _LANE)
+            acc = jnp.where(hit, g, acc)
+        parts.append(jnp.where(ok[:, j * _LANE:(j + 1) * _LANE], acc,
+                               jnp.zeros_like(acc)))
+    return jnp.concatenate(parts, axis=1)
+
+
 def _kernel(bidx_ref, t1_ref, src_ref, idx_ref, out_ref):
     w = src_ref.shape[-1]
     x = src_ref[0]                       # (W, W) int32, sample already DMA'd
     for k in range(3):
-        idx = idx_ref[0, k]              # (W, W) int32
-        ok = (idx >= 0) & (idx < w)
-        g = jnp.take_along_axis(x, jnp.clip(idx, 0, w - 1), axis=1)
-        x = jnp.where(ok, g, jnp.zeros_like(g))
+        x = _lane_gather(x, idx_ref[0, k], w)
         if k < 2:
             x = x.T
     i = pl.program_id(0)
@@ -213,8 +245,10 @@ def pallas_pipeline(packed: Array, batch_idx: Array, idx: Array, t1: Array,
 
 def _execute(packed: Array, batch_idx: Array, idx: Array, t1: Array, *,
              use_pallas: bool, interpret: bool) -> Array:
-    if use_pallas and _HAS_PLTPU and (interpret or
-                                      jax.default_backend() == "tpu"):
+    w = packed.shape[-1]
+    kernel_ok = w <= _LANE or w % _LANE == 0  # see _lane_gather
+    if use_pallas and kernel_ok and _HAS_PLTPU and (
+            interpret or jax.default_backend() == "tpu"):
         return pallas_pipeline(packed, batch_idx, idx, t1, interpret=interpret)
     planes = jnp.take(packed, batch_idx, axis=0)
     return reference_pipeline(planes, idx, t1)

@@ -163,6 +163,42 @@ def test_fast_augmentation_through_driver(tmp_path):
     assert np.isfinite(m["Train_loss"]).all()
 
 
+@pytest.mark.parametrize("w", [64, 128, 256])
+def test_kernel_widths_interpret_parity(w):
+    """The kernel must handle lane widths past one vreg: W>128 gathers are
+    lane-blocked into nb² single-vreg gathers (Mosaic rejects multi-vreg
+    gather sources: 'Multiple source vregs along gather dimension' at
+    W=256, reproduced on hardware). Blocked ⇒ bit-identical to the plain
+    executor; also verified on the real chip at W=256."""
+    rng = np.random.default_rng(w)
+    stack = jnp.asarray(rng.standard_normal((5, w, w, 2)), jnp.bfloat16)
+    packed = FA.pack_bf16x2(stack)
+    bidx = jnp.asarray(rng.integers(0, 5, 4), jnp.int32)
+    key = jax.random.PRNGKey(3)
+    ref = FA.fast_joint_transform(packed, bidx, key, use_pallas=False)
+    fast = FA.fast_joint_transform(packed, bidx, key, use_pallas=True,
+                                   interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref, np.float32),
+                                  np.asarray(fast, np.float32))
+
+
+def test_non_vreg_multiple_width_falls_back():
+    """Widths that are neither ≤128 nor a multiple of 128 can't use the
+    lane-blocked kernel; _execute silently uses the (semantics-identical)
+    jnp executor instead of failing Mosaic compilation."""
+    rng = np.random.default_rng(1)
+    w = 160
+    stack = jnp.asarray(rng.standard_normal((3, w, w, 2)), jnp.bfloat16)
+    packed = FA.pack_bf16x2(stack)
+    bidx = jnp.asarray([0, 2], jnp.int32)
+    key = jax.random.PRNGKey(5)
+    ref = FA.fast_joint_transform(packed, bidx, key, use_pallas=False)
+    fast = FA.fast_joint_transform(packed, bidx, key, use_pallas=True,
+                                   interpret=True)  # kernel_ok=False → jnp
+    np.testing.assert_array_equal(np.asarray(ref, np.float32),
+                                  np.asarray(fast, np.float32))
+
+
 def test_fast_joint_transform_mesh_parity():
     """Data-parallel execution (shard_map over 'data') must be bit-identical
     to the single-device path: the draws happen once outside the shard_map

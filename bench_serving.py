@@ -63,9 +63,13 @@ def _build_artifact(tmp: Path) -> Path:
     save_checkpoint(str(ckpt), state, epoch=0, val_loss=1.0)
     platform = jax.devices()[0].platform
     platforms = ("cpu",) if platform == "cpu" else ("cpu", platform)
-    return export_inference(cfg, "multitask", str(ckpt), tmp / "artifact",
-                            buckets=(1, BUCKET), size=SIZE,
-                            platforms=platforms), cfg
+    art = export_inference(cfg, "multitask", str(ckpt), tmp / "artifact",
+                           buckets=(1, BUCKET), size=SIZE,
+                           platforms=platforms)
+    art_dev = export_inference(cfg, "multitask", str(ckpt), tmp / "artifact_dev",
+                               buckets=(1, BUCKET), size=SIZE,
+                               platforms=platforms, device_postprocess=True)
+    return art, art_dev, cfg
 
 
 def _offline_throughput(exported, images: np.ndarray) -> float:
@@ -95,12 +99,20 @@ def main() -> None:
         ArtifactBackend, InferenceServer)
 
     tmp = Path(tempfile.mkdtemp(prefix="mtbc_serving_bench_"))
-    art, cfg = _build_artifact(tmp)
+    art, art_dev, cfg = _build_artifact(tmp)
     exported = load_exported(art)
+    exported_dev = load_exported(art_dev)
 
     rng = np.random.default_rng(0)
     images = (rng.random((BUCKET, SIZE, SIZE, 1)) * 255).astype(np.float32)
     offline = _offline_throughput(exported, images)
+    # device-postprocessed artifact: uint8 mask + probs + counts come back
+    # instead of every f32 deep-supervision head — same warmed device
+    offline_dev = _offline_throughput(exported_dev, images)
+    bytes_raw = sum(a.nbytes for a in
+                    jax.tree_util.tree_leaves(exported.predict(images)))
+    bytes_dev = sum(a.nbytes for a in
+                    jax.tree_util.tree_leaves(exported_dev.predict(images)))
 
     raw = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
     ok, png = cv2.imencode(".png", raw)
@@ -153,6 +165,9 @@ def main() -> None:
         "platform": jax.devices()[0].platform,
         "arch": ARCH, "size": SIZE, "bucket": BUCKET,
         "offline_imgs_s": round(offline, 1),
+        "offline_device_postprocess_imgs_s": round(offline_dev, 1),
+        "transfer_bytes_per_img_raw": bytes_raw // BUCKET,
+        "transfer_bytes_per_img_device_postprocess": bytes_dev // BUCKET,
         "online_p50_ms": round(p50, 2),
         "online_p95_ms": round(p95, 2),
         "concurrent_clients": CLIENTS,

@@ -35,6 +35,11 @@ def main() -> None:
                        help="comma-separated batch sizes to compile")
     p_exp.add_argument("--size", type=int, default=128)
     p_exp.add_argument("--platforms", default="cpu,tpu")
+    p_exp.add_argument("--device-postprocess", action="store_true",
+                       help="lower postprocessing (sigmoid/argmax/pixel "
+                            "counts) into the artifact: it then emits uint8 "
+                            "masks + probabilities (~6x fewer host-transfer "
+                            "bytes than raw deep-supervision heads)")
 
     p_run = sub.add_parser("run", help="start the online inference server")
     p_run.add_argument("--artifact", help="exported artifact directory")
@@ -58,7 +63,8 @@ def main() -> None:
         export_inference(cfg, args.task, args.checkpoint, args.output,
                          buckets=[int(b) for b in args.buckets.split(",")],
                          size=args.size,
-                         platforms=tuple(args.platforms.split(",")))
+                         platforms=tuple(args.platforms.split(",")),
+                         device_postprocess=args.device_postprocess)
         return
 
     from multi_task_breast_cancer_tpu.serve.server import (

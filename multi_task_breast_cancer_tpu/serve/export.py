@@ -21,6 +21,14 @@ Design points (TPU-first):
   the graph is frozen StableHLO (the torch reference would need the full
   model source + torch to deserialize its ``.tar`` pickles,
   ``training_multitask.py:243-249``).
+- **Device-side postprocessing** (``device_postprocess=True``): the exported
+  function emits the *serving answer* instead of raw model outputs — class
+  probabilities (f32), the thresholded/argmaxed mask as **uint8**, and the
+  per-image tumor-pixel / per-label counts the prediction-refinement rule
+  needs. The raw export transfers every deep-supervision head in f32
+  (~90 KB/img for the flagship); the compact form is ~16 KB/img and the
+  host-side sigmoid/argmax/sum passes disappear — on a tunnel-attached TPU
+  the transfer, not the compute, dominates serving throughput.
 """
 
 from __future__ import annotations
@@ -59,10 +67,61 @@ def _unflatten_variables(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return tree
 
 
+def _compact_outputs(out, task: str, n_classes: int,
+                     softmax_in_forward: bool) -> Dict[str, jnp.ndarray]:
+    """Raw model output pytree → the compact on-device serving answer.
+
+    Branch-for-branch twin of :func:`..serve.post.postprocess` (which decodes
+    raw outputs on the host); parity between the two paths is asserted by
+    ``tests/test_serving.py``. All branching is on static structure/shapes, so
+    this traces into one fused XLA program per bucket.
+
+    Keys: ``probs`` f32 (B, n_classes)|(B, 1); ``mask`` uint8 (B, H, W)
+    (binary tumor mask, or per-pixel label map for semantic >1-channel
+    heads); ``tumor_pixels`` int32 (B,) for binary masks;
+    ``label_counts`` int32 (B, C) per-label pixel counts for semantic maps
+    (carries the reference pixel vote, ``models.py:152-158``)."""
+
+    def cls_probs(cls_out):
+        if isinstance(cls_out, (tuple, list)):  # mean over DS cls heads
+            logits = jnp.mean(jnp.stack(cls_out, 0), 0)
+        else:
+            logits = cls_out
+        if softmax_in_forward:  # forward already normalised (nnUNet quirk)
+            return logits
+        return (jax.nn.softmax(logits, axis=-1) if n_classes > 2
+                else jax.nn.sigmoid(logits))
+
+    compact: Dict[str, jnp.ndarray] = {}
+    if task == "classification":
+        compact["probs"] = cls_probs(out)
+        return compact
+
+    seg_out = out
+    if task == "multitask":
+        if isinstance(out, (tuple, list)) and len(out) == 3:
+            cls_out, _, seg_out = out  # Adityan: (cls, reconstruction, seg)
+        else:
+            cls_out, seg_out = out
+        compact["probs"] = cls_probs(cls_out)
+    final = seg_out[-1] if isinstance(seg_out, (tuple, list)) else seg_out
+    if final.shape[-1] > 1:  # semantic: per-pixel label map + pixel vote
+        labels = jnp.argmax(final, axis=-1).astype(jnp.uint8)
+        compact["mask"] = labels
+        one_hot = jax.nn.one_hot(labels, final.shape[-1], dtype=jnp.int32)
+        compact["label_counts"] = one_hot.sum(axis=(1, 2))
+    else:  # binary: sigmoid(x) > 0.5  ⇔  x > 0
+        mask = (final[..., 0] > 0).astype(jnp.uint8)
+        compact["mask"] = mask
+        compact["tumor_pixels"] = mask.astype(jnp.int32).sum(axis=(1, 2))
+    return compact
+
+
 def export_inference(cfg, task: str, checkpoint: str, out_dir: str | Path,
                      buckets: Sequence[int] = (1, 8, 64),
                      size: int = 128,
-                     platforms: Sequence[str] = ("cpu", "tpu")) -> Path:
+                     platforms: Sequence[str] = ("cpu", "tpu"),
+                     device_postprocess: bool = False) -> Path:
     """Compile a trained checkpoint into a serving artifact directory."""
     from multi_task_breast_cancer_tpu.serve.post import model_applies_softmax
     from multi_task_breast_cancer_tpu.train.driver import build_inference_state
@@ -74,6 +133,9 @@ def export_inference(cfg, task: str, checkpoint: str, out_dir: str | Path,
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
     compute_dtype = cfg.training.compute_dtype
+    n_classes = len(cfg.data.classes)
+    softmax_in_forward = model_applies_softmax(task, cfg.model.architecture,
+                                               n_classes)
 
     def fwd(variables, images):
         v, x = variables, images
@@ -84,7 +146,10 @@ def export_inference(cfg, task: str, checkpoint: str, out_dir: str | Path,
                 if a.dtype == jnp.float32 else a, v["params"])
             x = x.astype(jnp.bfloat16)
         out = model.apply(v, x, train=False)
-        return jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), out)
+        out = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), out)
+        if device_postprocess:
+            return _compact_outputs(out, task, n_classes, softmax_in_forward)
+        return out
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -112,8 +177,8 @@ def export_inference(cfg, task: str, checkpoint: str, out_dir: str | Path,
         "compute_dtype": compute_dtype,
         "augmentation": cfg.data.augmentation.as_dict(),
         "pipeline_refinement": bool(cfg.training.overlap_class_based_on_seg),
-        "softmax_in_forward": model_applies_softmax(
-            task, cfg.model.architecture, len(cfg.data.classes)),
+        "softmax_in_forward": softmax_in_forward,
+        "device_postprocess": bool(device_postprocess),
         "semantic_segmentation": bool(cfg.data.semantic_segmentation),
         "jax_version": jax.__version__,
         "checkpoint": str(checkpoint),

@@ -114,3 +114,42 @@ def postprocess(out, task: str, n_classes: int, pr_enabled: bool,
 
     return PredictionBatch(probs=probs, pred_class=pred_class, masks=masks,
                            mask_scale=mask_scale)
+
+
+def postprocess_compact(out: dict, task: str, n_classes: int,
+                        pr_enabled: bool) -> PredictionBatch:
+    """Decode a **device-postprocessed** artifact's compact output dict
+    (``export._compact_outputs``) into the same :class:`PredictionBatch` the
+    raw path produces — the device already did sigmoid/argmax/pixel counts,
+    so the host only maps counts to class names and applies the PR override
+    (reference rule (a), ``models.py:300-345``)."""
+    probs = None if out.get("probs") is None else np.asarray(out["probs"])
+    masks = None if out.get("mask") is None else np.asarray(out["mask"])
+    pred_class = None
+    mask_scale = 255
+
+    label_counts = out.get("label_counts")
+    if label_counts is not None:  # semantic label map
+        label_counts = np.asarray(label_counts)
+        mask_scale = 255 // max(1, label_counts.shape[1] - 1)
+        if task == "segmentation":
+            # reference pixel vote (models.py:152-158): benign wins ties
+            pred_class = ["benign" if c[1] >= c[2] else "malignant"
+                          for c in label_counts]
+        nonzero_px = label_counts[:, 1:].sum(axis=1)
+    elif masks is not None:
+        nonzero_px = np.asarray(out["tumor_pixels"])
+    else:
+        nonzero_px = None
+
+    if probs is not None:
+        if n_classes > 2:
+            pred_class = [CLASS_NAMES[int(np.argmax(p))] for p in probs]
+        else:
+            pred_class = ["malignant" if p[0] > 0.5 else "benign" for p in probs]
+        if pr_enabled and nonzero_px is not None and n_classes > 2:
+            pred_class = ["normal" if n == 0 else c
+                          for c, n in zip(pred_class, nonzero_px)]
+
+    return PredictionBatch(probs=probs, pred_class=pred_class, masks=masks,
+                           mask_scale=mask_scale)

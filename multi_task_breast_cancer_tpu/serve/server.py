@@ -96,6 +96,11 @@ class CheckpointBackend:
         out = self._engine.predict(self._state, images, pad_to=self._pad_to)
         return jax.tree_util.tree_map(np.asarray, out)
 
+    def postprocess(self, out):
+        return postprocess(out, self.info["task"], self.info["n_classes"],
+                           self.info["pipeline_refinement"],
+                           self.info["softmax_in_forward"])
+
 
 class ArtifactBackend:
     """``jax.export`` artifact backend (see :mod:`.export`)."""
@@ -109,10 +114,21 @@ class ArtifactBackend:
                                        "augmentation", "pipeline_refinement")}
         # absent in pre-round-3 artifacts: default to raw-logit convention
         self.info["softmax_in_forward"] = bool(m.get("softmax_in_forward", False))
+        self.info["device_postprocess"] = bool(m.get("device_postprocess", False))
         self.info["backend"] = "artifact"
 
     def predict(self, images: np.ndarray):
         return self._model.predict(images)
+
+    def postprocess(self, out):
+        if self.info["device_postprocess"]:
+            from multi_task_breast_cancer_tpu.serve.post import postprocess_compact
+            return postprocess_compact(out, self.info["task"],
+                                       self.info["n_classes"],
+                                       self.info["pipeline_refinement"])
+        return postprocess(out, self.info["task"], self.info["n_classes"],
+                           self.info["pipeline_refinement"],
+                           self.info["softmax_in_forward"])
 
 
 @dataclass
@@ -177,9 +193,11 @@ class MicroBatcher:
             try:
                 images = np.stack([p.image for p in batch])
                 out = self._backend.predict(images)
-                pred = postprocess(out, info["task"], info["n_classes"],
-                                   info["pipeline_refinement"],
-                                   info.get("softmax_in_forward", False))
+                pp = getattr(self._backend, "postprocess", None)
+                pred = pp(out) if pp is not None else postprocess(
+                    out, info["task"], info["n_classes"],
+                    info["pipeline_refinement"],
+                    info.get("softmax_in_forward", False))
                 for i, p in enumerate(batch):
                     rec = pred.record(i)
                     if pred.masks is not None:

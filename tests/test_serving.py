@@ -383,6 +383,148 @@ def test_http_error_codes_backend_5xx_oversized_413():
         conn.close()
 
 
+def test_device_postprocess_artifact_matches_raw(mt_artifact, tmp_path):
+    """``--device-postprocess`` artifacts must serve EXACTLY what the raw
+    artifact + host postprocessing serves: the sigmoid/argmax/pixel-count
+    passes moved onto the device (uint8 mask + probs + counts, ~6x fewer
+    host-transfer bytes) are a pure refactor of the answer, not a new one."""
+    from multi_task_breast_cancer_tpu.serve.post import postprocess_compact
+
+    cfg, ckpt, art_raw, *_ = mt_artifact
+    art_dev = export_inference(cfg, "multitask", ckpt, tmp_path / "art_dev",
+                               buckets=(1, 4), size=SIZE, platforms=("cpu",),
+                               device_postprocess=True)
+    assert json.loads((art_dev / "manifest.json").read_text())[
+        "device_postprocess"] is True
+
+    raw_b = ArtifactBackend(str(art_raw))
+    dev_b = ArtifactBackend(str(art_dev))
+    rng = np.random.default_rng(10)
+    # n=3 pads into the B=4 bucket; n=9 chunks by the largest bucket — the
+    # compact dict outputs must survive both ExportedModel paths
+    for n in (3, 9):
+        images = (rng.random((n, SIZE, SIZE, 1)) * 255).astype(np.float32)
+        want = raw_b.postprocess(raw_b.predict(images))
+        out = dev_b.predict(images)
+        assert set(out) == {"probs", "mask", "tumor_pixels"}
+        assert out["mask"].dtype == np.uint8
+        got = dev_b.postprocess(out)
+        np.testing.assert_allclose(got.probs, want.probs, rtol=1e-5, atol=1e-6)
+        assert got.pred_class == want.pred_class
+        np.testing.assert_array_equal(got.masks, want.masks)
+        assert [got.record(i)["tumor_pixels"] for i in range(n)] == \
+               [want.record(i)["tumor_pixels"] for i in range(n)]
+
+    # device-side bytes: compact output ≤ mask + probs + counts, vs the raw
+    # path shipping the f32 head(s) — ~3.95x here (one seg head, no deep
+    # supervision); the DS flagship ships 4 heads, so the gap is far larger
+    images = (rng.random((4, SIZE, SIZE, 1)) * 255).astype(np.float32)
+    raw_bytes = sum(np.asarray(a).nbytes for a in
+                    jax.tree_util.tree_leaves(raw_b.predict(images)))
+    dev_bytes = sum(np.asarray(a).nbytes for a in
+                    jax.tree_util.tree_leaves(dev_b.predict(images)))
+    assert dev_bytes * 3 < raw_bytes
+
+    # end-to-end through the HTTP server: identical response record
+    import cv2
+    raw_img = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
+    ok, png = cv2.imencode(".png", raw_img)
+    assert ok
+    recs = {}
+    for name, backend in (("raw", raw_b), ("dev", dev_b)):
+        with InferenceServer(backend, max_batch=4, batch_wait_ms=1) as srv:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/predict?mask=1",
+                data=png.tobytes(), headers={"Content-Type": "image/png"},
+                method="POST")
+            rec = json.loads(urllib.request.urlopen(req).read())
+            rec.pop("latency_ms")
+            recs[name] = rec
+    # probs to f32 tolerance (two different XLA programs), rest exact
+    np.testing.assert_allclose(recs["raw"].pop("probs"),
+                               recs["dev"].pop("probs"), rtol=1e-5, atol=1e-6)
+    assert recs["raw"] == recs["dev"]
+
+    # postprocess_compact also accepts the dict with numpy leaves directly
+    out = dev_b.predict(images)
+    pb = postprocess_compact(out, "multitask", 3, True)
+    assert pb.masks.shape == (4, SIZE, SIZE)
+
+
+def test_device_postprocess_classification_softmax_quirk(tmp_path):
+    """Compact classification artifacts respect the nnUNetClassifier
+    softmax-in-forward quirk: probs pass through un-renormalised."""
+    cfg = _cfg("nnUNetClassifier")
+    ckpt, *_ = _checkpoint(cfg, "classification", tmp_path)
+    art_raw = export_inference(cfg, "classification", ckpt, tmp_path / "raw",
+                               buckets=(2,), size=SIZE, platforms=("cpu",))
+    art_dev = export_inference(cfg, "classification", ckpt, tmp_path / "dev",
+                               buckets=(2,), size=SIZE, platforms=("cpu",),
+                               device_postprocess=True)
+    rng = np.random.default_rng(11)
+    images = (rng.random((2, SIZE, SIZE, 1)) * 255).astype(np.float32)
+    raw_b, dev_b = ArtifactBackend(str(art_raw)), ArtifactBackend(str(art_dev))
+    want = raw_b.postprocess(raw_b.predict(images))
+    out = dev_b.predict(images)
+    assert set(out) == {"probs"}  # no mask for pure classification
+    got = dev_b.postprocess(out)
+    np.testing.assert_allclose(got.probs, want.probs, rtol=1e-6)
+    np.testing.assert_allclose(got.probs.sum(-1), 1.0, rtol=1e-5)
+    assert got.pred_class == want.pred_class and got.masks is None
+
+
+def test_compact_outputs_branch_parity_with_host_postprocess():
+    """`_compact_outputs` (the device-side program) and `postprocess` (the
+    host decoder of raw outputs) are branch-for-branch twins — checked on
+    synthetic outputs for the branches no exportable config reaches:
+    semantic (>1-channel) heads incl. the pixel vote, the empty-mask PR
+    override, and binary (n_classes==2) sigmoid probabilities."""
+    from multi_task_breast_cancer_tpu.serve.export import _compact_outputs
+    from multi_task_breast_cancer_tpu.serve.post import postprocess_compact
+
+    rng = np.random.default_rng(12)
+
+    # semantic segmentation head: label map + pixel vote, incl. an
+    # all-background image (argmax==0 everywhere)
+    final = rng.normal(size=(4, 8, 8, 3)).astype(np.float32)
+    final[0, :, :, 0] = 50.0
+    compact = jax.jit(lambda o: _compact_outputs(o, "segmentation", 3, False))(
+        jnp.asarray(final))
+    want = postprocess(final, "segmentation", 3, False)
+    got = postprocess_compact(
+        jax.tree_util.tree_map(np.asarray, compact), "segmentation", 3, False)
+    np.testing.assert_array_equal(got.masks, want.masks)
+    assert got.mask_scale == want.mask_scale == 127
+    assert got.pred_class == want.pred_class
+
+    # multitask with an EMPTY predicted mask: PR must force 'normal' on both
+    cls_logits = rng.normal(size=(3, 3)).astype(np.float32)
+    cls_logits[:, 2] -= 100.0  # argmax never 'normal' without PR
+    seg = np.full((3, 8, 8, 1), -5.0, np.float32)  # sigmoid < 0.5 everywhere
+    out = (cls_logits, [seg])
+    compact = jax.jit(lambda o: _compact_outputs(o, "multitask", 3, False))(
+        jax.tree_util.tree_map(jnp.asarray, out))
+    np.testing.assert_array_equal(np.asarray(compact["tumor_pixels"]), 0)
+    want = postprocess(out, "multitask", 3, True)
+    got = postprocess_compact(
+        jax.tree_util.tree_map(np.asarray, compact), "multitask", 3, True)
+    assert got.pred_class == want.pred_class == ["normal"] * 3
+    # atol: the -100 column softmaxes to a denormal; XLA flushes it to zero
+    np.testing.assert_allclose(got.probs, want.probs, rtol=1e-6, atol=1e-30)
+
+    # binary (n_classes==2): sigmoid probs, malignant/benign threshold
+    out2 = (rng.normal(size=(4, 1)).astype(np.float32),
+            rng.normal(size=(4, 8, 8, 1)).astype(np.float32))
+    compact = jax.jit(lambda o: _compact_outputs(o, "multitask", 2, False))(
+        jax.tree_util.tree_map(jnp.asarray, out2))
+    want = postprocess(out2, "multitask", 2, False)
+    got = postprocess_compact(
+        jax.tree_util.tree_map(np.asarray, compact), "multitask", 2, False)
+    np.testing.assert_allclose(got.probs, want.probs, rtol=1e-6)
+    assert got.pred_class == want.pred_class
+    np.testing.assert_array_equal(got.masks, want.masks)
+
+
 def test_checkpoint_backend_data_parallel_matches_single(mt_artifact):
     """Multi-chip serving: the live backend under the 8-device mesh (weights
     replicated, batch sharded, outputs gathered) must agree with the

@@ -60,7 +60,10 @@ Params = Dict[str, Any]
 def _np(t) -> np.ndarray:
     if hasattr(t, "detach"):  # torch tensor, without importing torch here
         t = t.detach().cpu().numpy()
-    return np.asarray(t, dtype=np.float32)
+    # always copy: `.numpy()` on a CPU tensor ALIASES torch storage, so
+    # without this the converted pytree would silently track the live torch
+    # model through its in-place optimizer updates
+    return np.array(t, dtype=np.float32, copy=True)
 
 
 def conv_kernel(w) -> np.ndarray:

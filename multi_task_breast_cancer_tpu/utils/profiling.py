@@ -6,20 +6,52 @@ wall-clock epoch times, ``training_multitask.py:223,254``).
 - ``StepTimer``: lightweight wall-clock aggregator for epoch phases.
 - Driver integration: set ``MTBC_PROFILE=/path`` to capture a trace of the
   first two epochs of fold 0.
+
+Runtime support caveat: tunneled/remote TPU backends (e.g. the ``axon``
+plugin) do not implement the profiler RPCs — ``profile_trace`` detects this
+and degrades to a logged no-op instead of crashing inside
+``jax.profiler.start_trace``. Wall-clock ``StepTimer`` always works.
 """
 
 from __future__ import annotations
 
 import contextlib
+import logging
 import os
 import time
 from collections import defaultdict
 from typing import Dict, Iterator
 
+# Backends whose runtime does not implement the profiler service. The axon
+# TPU tunnel is the known case; extendable without code changes via
+# MTBC_PROFILE_UNSUPPORTED (comma-separated platform names).
+_UNSUPPORTED_PLATFORMS = frozenset(
+    p.strip()
+    for p in os.environ.get("MTBC_PROFILE_UNSUPPORTED", "axon").split(",")
+    if p.strip()
+)
+
+
+def _profiler_supported() -> bool:
+    import jax
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # backend init failure — let start_trace surface it
+        return True
+    return platform not in _UNSUPPORTED_PLATFORMS
+
 
 @contextlib.contextmanager
 def profile_trace(log_dir: str) -> Iterator[None]:
     import jax
+    if not _profiler_supported():
+        logging.warning(
+            "jax.profiler traces are unsupported on this runtime (%s backend); "
+            "skipping trace capture — StepTimer wall-clock phases still apply.",
+            jax.devices()[0].platform,
+        )
+        yield
+        return
     jax.profiler.start_trace(log_dir)
     try:
         yield

@@ -23,6 +23,7 @@ Run on TPU: ``python bench_ablation.py`` (~25 min, two 4-fold CV trainings).
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import tempfile
 import time
@@ -31,12 +32,22 @@ from pathlib import Path
 import numpy as np
 import pandas as pd
 
-EPOCHS = 80
+# MTBC_ABLATION_PROTOCOL=reference reruns the MT rows under the reference's
+# OWN training regime (``config.yaml:24-36``: epochs 200, batch 2, early-stop
+# patience 50) instead of the harness protocol below; single-task rows are
+# skipped there (the reference-protocol question is about the MT±PR±DO
+# orderings). Output then goes to MTBC_ABLATION_OUT (default ABLATION_r04.json).
+PROTOCOL = os.environ.get("MTBC_ABLATION_PROTOCOL", "harness")
+EPOCHS = 200 if PROTOCOL == "reference" else 80
 CV = 4
-BATCH = 8  # protocol note: reference uses batch 2 (GPU-memory-era); the
-           # ablation compares variants under one identical protocol
+BATCH = 2 if PROTOCOL == "reference" else 8
+           # harness protocol note: reference uses batch 2 (GPU-memory-era);
+           # the ablation compares variants under one identical protocol
 SEED = 1993
 DIFFICULTY = 1.4  # calibrated so MT lands in the reference's regime
+OUT_PATH = os.environ.get(
+    "MTBC_ABLATION_OUT",
+    "ABLATION_r04.json" if PROTOCOL == "reference" else "ABLATION_r03.json")
 
 
 def _config(root: Path, oversampling: bool, architecture: str = "MTnnUNet"):
@@ -276,7 +287,9 @@ def main() -> None:
 
     # single-task rows: seg-only + cls-only trainings, then the two-model
     # "ST (Seg+Cls) + PR" combination (same nnU-Net family as the MT rows)
-    for oversampling, do_tag in ((False, ""), (True, "+DO")):
+    st_variants = () if PROTOCOL == "reference" else \
+        ((False, ""), (True, "+DO"))
+    for oversampling, do_tag in st_variants:
         seg_cfg = _config(root, oversampling, "nnUNet")
         t0 = time.perf_counter()
         seg_run = Path(run_experiment(
@@ -302,6 +315,8 @@ def main() -> None:
     out = {
         "config": {"model": "MTnnUNet", "epochs": EPOCHS, "cv": CV,
                    "batch_size": BATCH, "seed": SEED, "difficulty": DIFFICULTY,
+                   "protocol": PROTOCOL,
+                   "max_patience": 50,
                    "generator_fingerprint":
                        synthetic.hard_calibration_fingerprint(),
                    "class_counts": {"benign": 222, "malignant": 164,
@@ -331,7 +346,7 @@ def main() -> None:
         },
         "variants": variants,
     }
-    Path("ABLATION_r03.json").write_text(json.dumps(out, indent=1) + "\n")
+    Path(OUT_PATH).write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps({k: v["summary"] for k, v in variants.items()}, indent=1))
 
 

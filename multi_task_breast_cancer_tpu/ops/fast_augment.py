@@ -1,6 +1,5 @@
 """Opt-in fast augmentation: 3-shear (Paeth) nearest rotation as a Pallas
-VMEM kernel (``training.fast_augmentation``, bf16 + single-image-channel
-configs only).
+VMEM kernel (``training.fast_augmentation``).
 
 Motivation (PARITY round-3 changelog): the exact torchvision-parity rotation
 is ONE arbitrary per-pixel gather, which neither XLA (latency-bound, ~23% of
@@ -23,16 +22,28 @@ lesion boundaries can differ by one position (measured mask Dice between the
 two resamplings ≥ 0.988, mean 0.993). Training trajectories therefore differ
 from the torchvision-parity path — this is why the fast path is opt-in.
 
-Data layout: the fold's (N,H,W,2) [mask|image] bf16 stack is packed once per
-fold into (N,H,W) int32 lanes ((u16(mask)<<16)|u16(image)) so the kernel's
-gathers run on 32-bit lanes (Mosaic requires matching data/index bitwidths);
-the per-sample plane is DMA'd contiguously into VMEM via scalar-prefetch
-block indexing, which also performs the batch row selection.
+Data layout: the fold's (N,H,W,C) [masks|image(+augment channels)] stack is
+packed once per fold into (N,P,S,S) int32 *planes* so the kernel's gathers
+run on 32-bit lanes (Mosaic requires matching data/index bitwidths):
+
+- bf16 compute packs channel PAIRS per plane ((u16(ch2k)<<16)|u16(ch2k+1),
+  odd channel counts zero-padded) — P = ceil(C/2);
+- f32 compute bitcasts each channel to its own int32 plane — P = C;
+- S is the square canvas: H,W (even) are embedded CENTERED in the smallest
+  kernel-compatible square (next multiple of 8 up to one vreg, else next
+  multiple of 128 — see ``plan_canvas``). Centered embedding makes flips and
+  rotation about the canvas center coincide exactly with the image-center
+  semantics of the exact path; margins are zero-filled like torchvision's
+  ``fill=0`` and cropped away after the kernel.
+
+The per-(sample, plane) canvas is DMA'd contiguously into VMEM via
+scalar-prefetch block indexing, which also performs the batch row selection;
+all planes of one sample share that sample's gather parameters.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -66,6 +77,89 @@ def unpack_bf16x2(packed: Array) -> Array:
     ch0 = jax.lax.bitcast_convert_type((u >> 16).astype(jnp.uint16), jnp.bfloat16)
     ch1 = jax.lax.bitcast_convert_type((u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16)
     return jnp.stack([ch0, ch1], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# generalized packing: C channels × f32/bf16 × padded square canvas
+# ---------------------------------------------------------------------------
+
+
+class AugFormat(NamedTuple):
+    """Static descriptor of a packed augmentation stack (hashable — safe to
+    close over in a jitted function)."""
+    n_channels: int    # original channel count C
+    n_planes: int      # int32 planes per sample P
+    dtype: str         # 'bfloat16' | 'float32'
+    height: int        # original H
+    width: int         # original W
+    canvas: int        # padded square side S
+
+
+def plan_canvas(h: int, w: int) -> int:
+    """Smallest kernel-compatible square canvas that holds an H×W image with
+    integral centered margins.
+
+    Kernel-compatible = lane width ≤ one vreg (rounded to the 8-sublane
+    granule) or a multiple of 128 (the lane-blocked gather, see
+    ``_lane_gather``). H and W must be even so the centered margins are
+    integers — checked by the caller."""
+    m = max(h, w, 8)
+    if m <= _LANE:
+        return -(-m // 8) * 8
+    return -(-m // _LANE) * _LANE
+
+
+def pack_channels(stack: Array, compute_dtype: str) -> Tuple[Array, AugFormat]:
+    """(N,H,W,C) float stack → ((N,P,S,S) int32 planes, AugFormat).
+
+    bf16: channel pairs per int32 lane (odd C zero-padded); f32: one channel
+    per plane (bitcast). The image is embedded centered in the S×S canvas
+    with zero margins (torchvision ``fill=0`` semantics — zero bits decode to
+    0.0 in both dtypes)."""
+    n, h, w, c = stack.shape
+    if h % 2 or w % 2:
+        raise ValueError(
+            f"fast_augmentation needs even image dims for exact centered "
+            f"canvas embedding; got {h}x{w} — use the exact augmentation path")
+    s = plan_canvas(h, w)
+    if compute_dtype == "bfloat16":
+        x = stack.astype(jnp.bfloat16)
+        if c % 2:
+            x = jnp.concatenate([x, jnp.zeros_like(x[..., :1])], axis=-1)
+        u = jax.lax.bitcast_convert_type(x, jnp.uint16).astype(jnp.uint32)
+        planes = ((u[..., 0::2] << 16) | u[..., 1::2]).astype(jnp.int32)
+    elif compute_dtype == "float32":
+        planes = jax.lax.bitcast_convert_type(stack.astype(jnp.float32),
+                                              jnp.int32)
+    else:
+        raise ValueError(f"unsupported compute_dtype {compute_dtype!r}")
+    planes = jnp.moveaxis(planes, -1, 1)          # (N,P,H,W)
+    oy, ox = (s - h) // 2, (s - w) // 2
+    if oy or ox:
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (oy, s - h - oy),
+                                  (ox, s - w - ox)))
+    fmt = AugFormat(n_channels=c, n_planes=planes.shape[1],
+                    dtype=compute_dtype, height=h, width=w, canvas=s)
+    return planes, fmt
+
+
+def unpack_channels(out: Array, fmt: AugFormat) -> Array:
+    """(B,P,S,S) int32 kernel output → (B,H,W,C) in the compute dtype
+    (centered crop + channel unpacking, inverse of ``pack_channels``)."""
+    oy = (fmt.canvas - fmt.height) // 2
+    ox = (fmt.canvas - fmt.width) // 2
+    out = out[:, :, oy:oy + fmt.height, ox:ox + fmt.width]
+    out = jnp.moveaxis(out, 1, -1)                # (B,H,W,P)
+    if fmt.dtype == "bfloat16":
+        u = out.astype(jnp.uint32)
+        hi = jax.lax.bitcast_convert_type((u >> 16).astype(jnp.uint16),
+                                          jnp.bfloat16)
+        lo = jax.lax.bitcast_convert_type((u & 0xFFFF).astype(jnp.uint16),
+                                          jnp.bfloat16)
+        chans = jnp.stack([hi, lo], axis=-1).reshape(*out.shape[:-1],
+                                                     2 * fmt.n_planes)
+        return chans[..., :fmt.n_channels]
+    return jax.lax.bitcast_convert_type(out, jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -210,37 +304,45 @@ def _lane_gather(x, idx, w):
 
 def _kernel(bidx_ref, t1_ref, src_ref, idx_ref, out_ref):
     w = src_ref.shape[-1]
-    x = src_ref[0]                       # (W, W) int32, sample already DMA'd
+    x = src_ref[0, 0]                    # (S, S) int32, one plane of sample i
     for k in range(3):
         x = _lane_gather(x, idx_ref[0, k], w)
         if k < 2:
             x = x.T
     i = pl.program_id(0)
-    out_ref[0] = jnp.where(t1_ref[i] > 0, x.T, x)
+    out_ref[0, 0] = jnp.where(t1_ref[i] > 0, x.T, x)
 
 
 def pallas_pipeline(packed: Array, batch_idx: Array, idx: Array, t1: Array,
                     *, interpret: bool = False) -> Array:
-    """Kernel executor: per grid step, DMA sample ``batch_idx[i]``'s packed
-    (W,W) plane into VMEM (this is also the batch row selection) and run the
-    three lane-gathers + transposes at VMEM speed."""
-    n, h, w = packed.shape
+    """Kernel executor: per (sample, plane) grid step, DMA plane ``p`` of
+    sample ``batch_idx[i]`` into VMEM (this is also the batch row selection)
+    and run the three lane-gathers + transposes at VMEM speed. All planes of
+    a sample reuse that sample's gather parameters.
+
+    ``packed`` is (N,P,S,S); a legacy (N,S,S) single-plane stack is also
+    accepted (and returned without the plane axis)."""
+    legacy = packed.ndim == 3
+    if legacy:
+        packed = packed[:, None]
+    n, p, h, w = packed.shape
     b = batch_idx.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b,),
+        grid=(b, p),
         in_specs=[
-            pl.BlockSpec((1, h, w), lambda i, bidx, t1: (bidx[i], 0, 0)),
-            pl.BlockSpec((1, 3, h, w), lambda i, bidx, t1: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, h, w), lambda i, j, bidx, t1: (bidx[i], j, 0, 0)),
+            pl.BlockSpec((1, 3, h, w), lambda i, j, bidx, t1: (i, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, h, w), lambda i, bidx, t1: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, h, w), lambda i, j, bidx, t1: (i, j, 0, 0)),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, p, h, w), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(batch_idx.astype(jnp.int32), t1.astype(jnp.int32), packed, idx)
+    return out[:, 0] if legacy else out
 
 
 def _execute(packed: Array, batch_idx: Array, idx: Array, t1: Array, *,
@@ -251,6 +353,9 @@ def _execute(packed: Array, batch_idx: Array, idx: Array, t1: Array, *,
             interpret or jax.default_backend() == "tpu"):
         return pallas_pipeline(packed, batch_idx, idx, t1, interpret=interpret)
     planes = jnp.take(packed, batch_idx, axis=0)
+    if planes.ndim == 4:  # (B,P,S,S): run the executor per plane
+        return jax.vmap(reference_pipeline, in_axes=(1, None, None),
+                        out_axes=1)(planes, idx, t1)
     return reference_pipeline(planes, idx, t1)
 
 
@@ -259,8 +364,14 @@ def fast_joint_transform(packed: Array, batch_idx: Array, key: jax.Array, *,
                          max_angle: float = 360.0,
                          use_pallas: bool = True,
                          interpret: bool = False,
-                         mesh=None) -> Array:
+                         mesh=None,
+                         fmt: "AugFormat | None" = None) -> Array:
     """Batch selection + joint flips/rotation on the packed fold stack.
+
+    ``fmt=None`` (legacy): ``packed`` is a (N,S,S) ``pack_bf16x2`` stack and
+    the result is the (B,S,S,2) bf16 [mask|image] batch. With an
+    :class:`AugFormat` from :func:`pack_channels`, ``packed`` is (N,P,S,S)
+    and the result is the cropped (B,H,W,C) batch in the compute dtype.
 
     Data-parallel meshes are supported by ``shard_map``-ing the executor over
     the ``'data'`` axis: the packed fold stack is replicated (matching
@@ -270,9 +381,12 @@ def fast_joint_transform(packed: Array, batch_idx: Array, key: jax.Array, *,
     rule is needed. The flip/angle DRAWS happen once, outside the shard_map,
     so the augmented batch is bit-identical to the single-device path.
     Spatial ('space'>1) meshes are rejected upstream (``Engine.__init__``):
-    the kernel needs whole image planes in one core's VMEM.
-
-    Returns the augmented (B, W, W, 2) bf16 [mask|image] batch."""
+    the kernel needs whole image planes in one core's VMEM."""
+    import os
+    # MTBC_FASTAUG_INTERPRET=1 forces the Pallas kernel in interpret mode —
+    # lets CPU runs (tests, the multi-chip dryrun) execute the actual kernel
+    # logic instead of the jnp fallback executor
+    interpret = interpret or os.environ.get("MTBC_FASTAUG_INTERPRET") == "1"
     b = batch_idx.shape[0]
     w = packed.shape[-1]
     idx, t1 = build_pipeline_params(key, b, w, p_hflip=p_hflip,
@@ -294,4 +408,6 @@ def fast_joint_transform(packed: Array, batch_idx: Array, key: jax.Array, *,
     else:
         out = _execute(packed, batch_idx, idx, t1, use_pallas=use_pallas,
                        interpret=interpret)
-    return unpack_bf16x2(out)
+    if fmt is None:
+        return unpack_bf16x2(out)
+    return unpack_channels(out, fmt)

@@ -58,7 +58,9 @@ class EngineConfig:
     compute_dtype: str = "float32"  # 'bfloat16' casts activations for the MXU
     # opt-in 3-shear Pallas augmentation (PARITY D13): same flip/angle draws,
     # rotation resampled per shear — measured 8x faster than the exact-parity
-    # gather on TPU v5e. Requires bf16 compute, 1 image channel, square imgs.
+    # gather on TPU v5e. Any channel count (augment channels pack pairwise in
+    # bf16, one int32 plane each in f32); even dims (non-square embeds
+    # centered in a padded square canvas). Odd dims fall back with an error.
     fast_augmentation: bool = False
 
 
@@ -105,6 +107,10 @@ class Engine:
         self.tx = tx
         self.cfg = cfg
         self.mesh = mesh
+        # fast-augmentation packing descriptor: set by device_data, closed
+        # over (statically) by the jitted epoch at first trace
+        self._aug_fmt = None
+        self._aug_n_mask = 1
         if mesh is not None and cfg.use_transforms and cfg.fast_augmentation:
             if mesh.shape.get("space", 1) > 1:
                 raise ValueError(
@@ -271,15 +277,16 @@ class Engine:
             if cfg.use_transforms and aug_packed is not None:
                 # opt-in FAST path (PARITY D13): batch selection + flips +
                 # 3-shear rotation in one Pallas VMEM kernel on the packed
-                # [mask|image] int32 planes — same flip/angle draws as the
-                # exact path, rotation resampled per shear
+                # [masks|image channels] int32 planes — same flip/angle draws
+                # as the exact path, rotation resampled per shear
                 from multi_task_breast_cancer_tpu.ops.fast_augment import (
                     fast_joint_transform)
                 stack = fast_joint_transform(
                     aug_packed, batch_idx, k_aug, p_hflip=cfg.p_hflip,
                     p_vflip=cfg.p_vflip, max_angle=cfg.max_angle,
-                    mesh=self.mesh)
-                msks, imgs = stack[..., :1], stack[..., 1:]
+                    mesh=self.mesh, fmt=self._aug_fmt)
+                nm = self._aug_n_mask
+                msks, imgs = stack[..., :nm], stack[..., nm:]
                 imgs, msks, ctgt = self._shard_batch(imgs, msks, ctgt)
             else:
                 imgs = jnp.take(images, batch_idx, axis=0)
@@ -545,19 +552,21 @@ class Engine:
             "labels_int": jnp.asarray(_pad(ds.labels)),
         }
         if self.cfg.use_transforms and self.cfg.fast_augmentation:
-            from multi_task_breast_cancer_tpu.ops.fast_augment import pack_bf16x2
-            h, w = ds.images.shape[1], ds.images.shape[2]
-            if self.cfg.compute_dtype != "bfloat16":
-                raise ValueError("fast_augmentation requires "
-                                 "training.compute_dtype: bfloat16 (the packed "
-                                 "planes hold two bf16 channels per int32 lane)")
-            if ds.images.shape[-1] != 1 or ds.masks.shape[-1] != 1 or h != w:
-                raise ValueError(
-                    "fast_augmentation supports square images with exactly one "
-                    "image channel and one mask channel (no augment channels); "
-                    f"got images {ds.images.shape}, masks {ds.masks.shape}")
+            from multi_task_breast_cancer_tpu.ops.fast_augment import pack_channels
+            # [masks|image(+augment channels)] — any channel count, bf16 or
+            # f32 compute, even (possibly non-square) dims; pack_channels
+            # embeds centered in a kernel-compatible square canvas and packs
+            # channels into int32 planes (pairs for bf16, one each for f32)
             stack = np.concatenate([_pad(ds.masks), _pad(ds.images)], axis=-1)
-            data["aug_packed"] = pack_bf16x2(jnp.asarray(stack, jnp.bfloat16))
+            planes, fmt = pack_channels(jnp.asarray(stack, np.float32),
+                                        self.cfg.compute_dtype)
+            if self._aug_fmt is not None and self._aug_fmt != fmt:
+                raise ValueError(
+                    "this Engine's jitted epoch was traced for augmentation "
+                    f"format {self._aug_fmt}; a new Engine is needed for {fmt}")
+            self._aug_fmt = fmt
+            self._aug_n_mask = ds.masks.shape[-1]
+            data["aug_packed"] = planes
         if self.mesh is not None:
             from multi_task_breast_cancer_tpu.parallel.mesh import replicate_to_mesh
             data = replicate_to_mesh(self.mesh, data)

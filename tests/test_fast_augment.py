@@ -279,23 +279,145 @@ def test_fast_augmentation_mesh_batch_divisibility():
                mesh=data_mesh())
 
 
-def test_fast_augmentation_config_validation():
-    """fast_augmentation demands bf16 compute and 1+1 channels."""
+# ---------------------------------------------------------------------------
+# generalized packing: C channels × f32/bf16 × padded (possibly non-square)
+# canvas (round-4 lifting of the bf16/1+1-channel/square restrictions)
+# ---------------------------------------------------------------------------
+
+
+def test_plan_canvas():
+    assert FA.plan_canvas(64, 64) == 64
+    assert FA.plan_canvas(64, 96) == 96
+    assert FA.plan_canvas(100, 60) == 104   # next multiple of 8
+    assert FA.plan_canvas(128, 128) == 128
+    assert FA.plan_canvas(192, 192) == 256  # >1 vreg → next multiple of 128
+    assert FA.plan_canvas(256, 130) == 256
+    assert FA.plan_canvas(2, 2) == 8
+
+
+@pytest.mark.parametrize("dtype,c", [("bfloat16", 2), ("bfloat16", 7),
+                                     ("float32", 1), ("float32", 3)])
+def test_pack_channels_identity_roundtrip(dtype, c):
+    """pack → identity transform (p=0, angle=0) → unpack returns the input
+    exactly, for pair-packed bf16 (odd C zero-padded) and per-plane f32."""
+    rng = np.random.default_rng(c)
+    stack = jnp.asarray(rng.standard_normal((3, 64, 96, c)), jnp.float32)
+    if dtype == "bfloat16":
+        stack = stack.astype(jnp.bfloat16).astype(jnp.float32)
+    planes, fmt = FA.pack_channels(stack, dtype)
+    assert planes.shape == (3, -(-c // 2) if dtype == "bfloat16" else c,
+                            96, 96)
+    out = FA.fast_joint_transform(planes, jnp.arange(3), jax.random.PRNGKey(0),
+                                  p_hflip=0.0, p_vflip=0.0, max_angle=0.0,
+                                  use_pallas=False, fmt=fmt)
+    assert out.shape == (3, 64, 96, c)
+    np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                  np.asarray(stack, np.float32))
+
+
+def test_pack_channels_matches_legacy_two_channel():
+    """For the original case (square, 2 bf16 channels, canvas == W) the
+    generalized path must be BIT-identical to the legacy pack_bf16x2 path —
+    same planes, same kernel, same result."""
+    rng = np.random.default_rng(9)
+    stack = jnp.asarray(rng.standard_normal((5, W, W, 2)), jnp.bfloat16)
+    legacy = FA.pack_bf16x2(stack)
+    planes, fmt = FA.pack_channels(stack.astype(jnp.float32), "bfloat16")
+    np.testing.assert_array_equal(np.asarray(planes[:, 0]), np.asarray(legacy))
+    bidx = jnp.asarray([4, 0, 2], jnp.int32)
+    key = jax.random.PRNGKey(17)
+    old = FA.fast_joint_transform(legacy, bidx, key, use_pallas=False)
+    new = FA.fast_joint_transform(planes, bidx, key, use_pallas=False, fmt=fmt)
+    np.testing.assert_array_equal(np.asarray(old, np.float32),
+                                  np.asarray(new, np.float32))
+
+
+@pytest.mark.parametrize("dtype,c,hw", [("float32", 2, (64, 64)),
+                                        ("bfloat16", 5, (64, 96)),
+                                        ("float32", 3, (32, 64)),
+                                        ("bfloat16", 2, (192, 192))])
+def test_multiplane_kernel_interpret_parity(dtype, c, hw):
+    """The (sample, plane) grid kernel equals the pure-jnp executor for f32
+    planes, odd channel counts, non-square centered canvases and the 192²→256
+    lane-blocked case."""
+    h, w = hw
+    rng = np.random.default_rng(h + c)
+    stack = jnp.asarray(rng.standard_normal((4, h, w, c)), jnp.float32)
+    planes, fmt = FA.pack_channels(stack, dtype)
+    bidx = jnp.asarray(rng.integers(0, 4, 3), jnp.int32)
+    key = jax.random.PRNGKey(2)
+    ref = FA.fast_joint_transform(planes, bidx, key, use_pallas=False, fmt=fmt)
+    pal = FA.fast_joint_transform(planes, bidx, key, use_pallas=True,
+                                  interpret=True, fmt=fmt)
+    np.testing.assert_array_equal(np.asarray(ref, np.float32),
+                                  np.asarray(pal, np.float32))
+
+
+def test_nonsquare_semantics_vs_exact_path():
+    """Non-square (64×96) rotation on the padded canvas: centered embedding
+    makes the canvas center coincide with the image center, so the fast path
+    must agree with the exact torchvision-parity path (same draws) to mask
+    Dice ≥ 0.97 — same bound as the square case."""
+    from multi_task_breast_cancer_tpu.data.augment import joint_transform_stack_batch
+
+    h, w = 64, 96
+    yy, xx = np.mgrid[0:h, 0:w]
+    mask = ((((yy - 36) / 11.0) ** 2 + ((xx - 40) / 19.0) ** 2) <= 1)
+    img = np.where(mask, 60.0, 140.0)
+    stack = np.stack([mask.astype(np.float32), img], axis=-1)[None]
+    stack_b = jnp.asarray(np.repeat(stack, 16, axis=0), jnp.float32)
+    planes, fmt = FA.pack_channels(stack_b, "float32")
+
+    key = jax.random.PRNGKey(13)
+    exact = joint_transform_stack_batch(stack_b, jax.random.split(key, 16))
+    fast = FA.fast_joint_transform(planes, jnp.arange(16), key,
+                                   use_pallas=False, fmt=fmt)
+    em = np.asarray(exact[..., 0] > 0.5)
+    fm = np.asarray(fast[..., 0].astype(np.float32) > 0.5)
+    for i in range(16):
+        inter = np.logical_and(em[i], fm[i]).sum()
+        denom = em[i].sum() + fm[i].sum()
+        if denom == 0:
+            continue
+        dice = 2.0 * inter / denom
+        assert dice >= 0.97, (i, dice)
+
+
+def test_pack_channels_rejects_odd_dims():
+    stack = jnp.zeros((2, 65, 64, 2), jnp.float32)
+    with pytest.raises(ValueError, match="even image dims"):
+        FA.pack_channels(stack, "bfloat16")
+
+
+def test_fast_augmentation_f32_and_augment_channels_engine():
+    """Engine-level: fast_augmentation now runs with f32 compute AND augment
+    channels (multi-channel images) — one epoch trains with finite metrics
+    and the augmented splits match the packed channel layout."""
     from multi_task_breast_cancer_tpu.data.dataset import ArrayDataset
     from multi_task_breast_cancer_tpu.models import init_segmentation_model
-    from multi_task_breast_cancer_tpu.train.loop import Engine, EngineConfig
+    from multi_task_breast_cancer_tpu.train.loop import (
+        Engine, EngineConfig, plan_epoch_indices)
     from multi_task_breast_cancer_tpu.train.optim import init_optimizer
+    from multi_task_breast_cancer_tpu.train.state import create_train_state
 
-    rng = np.random.default_rng(0)
-    ds = ArrayDataset(images=rng.integers(0, 256, (4, 32, 32, 1)).astype(np.float32),
-                      masks=(rng.random((4, 32, 32, 1)) > 0.7).astype(np.float32),
-                      labels=rng.integers(0, 3, 4).astype(np.int32),
-                      patient_ids=np.arange(4), class_names=["benign"] * 4,
-                      tumor_pixels=np.zeros(4, np.int64))
-    model = init_segmentation_model("BTSUNet", width=4)
+    rng = np.random.default_rng(5)
+    n, H, C = 8, 32, 3  # image + 2 augment channels
+    ds = ArrayDataset(
+        images=rng.integers(0, 256, (n, H, H, C)).astype(np.float32),
+        masks=(rng.random((n, H, H, 1)) > 0.7).astype(np.float32),
+        labels=rng.integers(0, 3, n).astype(np.int32),
+        patient_ids=np.arange(n), class_names=["benign"] * n,
+        tumor_pixels=np.zeros(n, np.int64))
+    model = init_segmentation_model("BTSUNet", width=4, sequences=C,
+                                    deep_supervision=False)
     tx = init_optimizer("Adam", 1e-3)
-    eng = Engine(model, tx, EngineConfig(task="segmentation", batch_size=2,
-                                         fast_augmentation=True,
-                                         compute_dtype="float32"))
-    with pytest.raises(ValueError, match="bfloat16"):
-        eng.device_data(ds)
+    engine = Engine(model, tx, EngineConfig(task="segmentation", batch_size=4,
+                                            fast_augmentation=True,
+                                            compute_dtype="float32"))
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, H, H, C)))
+    data = engine.device_data(ds)
+    assert data["aug_packed"].shape == (n, 4, H, H)  # 1 mask + 3 img planes
+    perm = plan_epoch_indices(n, 4, np.random.default_rng(0))
+    state, m = engine.train_epoch(state, data, perm, jax.random.PRNGKey(1))
+    assert np.isfinite(m["loss"])

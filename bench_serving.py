@@ -106,6 +106,19 @@ def main() -> None:
     rng = np.random.default_rng(0)
     images = (rng.random((BUCKET, SIZE, SIZE, 1)) * 255).astype(np.float32)
     offline = _offline_throughput(exported, images)
+    # artifact-path data parallelism (round 4): batches shard across every
+    # local device with per-device weight copies; compare against the
+    # single-device path on a multi-device run (8-virtual-device CPU mesh in
+    # CI; =1 on a single TPU chip)
+    n_devices = jax.device_count()
+    dp_block = {"devices": n_devices}
+    if n_devices > 1:
+        single = load_exported(art, data_parallel=False)
+        dp_block["offline_imgs_s_single_device"] = round(
+            _offline_throughput(single, images), 1)
+        dp_block["offline_imgs_s_all_devices"] = round(offline, 1)
+        dp_block["scaling"] = round(
+            offline / max(dp_block["offline_imgs_s_single_device"], 1e-9), 2)
     # device-postprocessed artifact: uint8 mask + probs + counts come back
     # instead of every f32 deep-supervision head — same warmed device
     offline_dev = _offline_throughput(exported_dev, images)
@@ -160,6 +173,23 @@ def main() -> None:
         concurrent_rate = CLIENTS * REQS / wall
         stats = dict(srv.batcher.stats)
 
+        # batch endpoint (round 4): BUCKET images in ONE request — offline
+        # clients get device-batch efficiency without N HTTP round-trips
+        b64 = base64.b64encode(png_bytes).decode()
+        payload = json.dumps({"images_b64": [b64] * BUCKET}).encode()
+
+        def batch_request() -> float:
+            t0 = time.perf_counter()
+            req = urllib.request.Request(
+                base + "/predict_batch", data=payload,
+                headers={"Content-Type": "application/json"}, method="POST")
+            resp = json.loads(urllib.request.urlopen(req, timeout=600).read())
+            assert resp["count"] == BUCKET
+            return time.perf_counter() - t0
+
+        batch_request()  # warm
+        batch_rate = BUCKET * 3 / sum(batch_request() for _ in range(3))
+
     print(json.dumps({
         "metric": "serving",
         "platform": jax.devices()[0].platform,
@@ -173,6 +203,8 @@ def main() -> None:
         "concurrent_clients": CLIENTS,
         "concurrent_imgs_s": round(concurrent_rate, 1),
         "concurrent_mean_latency_ms": round(float(np.mean(lats)), 2),
+        "predict_batch_imgs_s": round(batch_rate, 1),
+        "data_parallel": dp_block,
         "batcher": stats,
     }))
 

@@ -195,18 +195,30 @@ class ExportedModel:
     compiled bucket that fits (wrap-padding with the last image so padded
     rows stay in-distribution), or chunks by the largest bucket for
     oversized batches — every device execution reuses a pre-compiled
-    program."""
+    program.
 
-    def __init__(self, path: str | Path):
+    **Data parallelism** (``data_parallel=True``, the default): batches
+    larger than the smallest bucket are sharded across ALL local devices —
+    each device holds its own committed copy of the weights (materialised
+    lazily on first use) and runs the per-shard bucket program; dispatches
+    are issued back-to-back (async) and fetched together, so wall-clock is
+    one shard, not the sum. The deployable-artifact path thereby scales with
+    chips exactly like the live ``CheckpointBackend``."""
+
+    def __init__(self, path: str | Path, data_parallel: bool = True):
         self.path = Path(path)
         self.manifest = json.loads((self.path / MANIFEST).read_text())
         with np.load(self.path / WEIGHTS) as z:
             self.variables = _unflatten_variables({k: z[k] for k in z.files})
-        # Commit the weights to the device ONCE: jax.Arrays are reused across
-        # exported calls, numpy leaves would be re-uploaded host→device on
-        # every predict (~63 MB/batch for the flagship — on a tunnel TPU that
-        # transfer, not the compute, would dominate serving latency).
-        self.variables = jax.device_put(self.variables)
+        self._devices = list(jax.devices()) if data_parallel \
+            else [jax.devices()[0]]
+        # Commit the weights to the device ONCE per device used: jax.Arrays
+        # are reused across exported calls, numpy leaves would be re-uploaded
+        # host→device on every predict (~63 MB/batch for the flagship — on a
+        # tunnel TPU that transfer, not the compute, would dominate serving
+        # latency). Device 0 is eager; replicas materialise on first use.
+        self.variables = jax.device_put(self.variables, self._devices[0])
+        self._var_copies: Dict[Any, Any] = {self._devices[0]: self.variables}
         self.buckets = sorted(self.manifest["buckets"])
         self._fns: Dict[int, Any] = {}
 
@@ -216,26 +228,57 @@ class ExportedModel:
             self._fns[bucket] = jax.export.deserialize(data).call
         return self._fns[bucket]
 
-    def _run(self, images: np.ndarray, bucket: int):
+    def _vars_on(self, device):
+        if device not in self._var_copies:
+            self._var_copies[device] = jax.device_put(self.variables, device)
+        return self._var_copies[device]
+
+    def _dispatch(self, images: np.ndarray, bucket: int, device=None):
+        """Issue one bucket execution (async); returns (device outputs, n)."""
         n = images.shape[0]
         if n < bucket:
             pad = np.repeat(images[-1:], bucket - n, axis=0)
             images = np.concatenate([images, pad], axis=0)
-        out = self._fn(bucket)(self.variables, images.astype(np.float32))
-        return jax.tree_util.tree_map(lambda a: np.asarray(a)[:n], out)
+        device = device or self._devices[0]
+        x = jax.device_put(images.astype(np.float32), device)
+        return self._fn(bucket)(self._vars_on(device), x), n
+
+    @staticmethod
+    def _fetch(dispatched):
+        outs = [jax.tree_util.tree_map(lambda a, m=n: np.asarray(a)[:m], out)
+                for out, n in dispatched]
+        if len(outs) == 1:
+            return outs[0]
+        return jax.tree_util.tree_map(
+            lambda *parts: np.concatenate(parts, axis=0), *outs)
 
     def predict(self, images: np.ndarray):
         n = images.shape[0]
         if n == 0:
             raise ValueError("empty batch: images has 0 rows")
         top = self.buckets[-1]
+        ndev = len(self._devices)
+        if ndev > 1 and n > self.buckets[0]:
+            # shard over devices: equal slices, each padded to its bucket
+            shard = -(-n // ndev)
+            if shard > top:  # chunk per device by the largest bucket
+                shard = top * (-(-n // (top * ndev)))
+            dispatched = []
+            for i in range(0, n, shard):
+                sl = images[i:i + shard]
+                chunk_dev = self._devices[(i // shard) % ndev]
+                for j in range(0, sl.shape[0], top):
+                    part = sl[j:j + top]
+                    bucket = next(b for b in self.buckets
+                                  if b >= part.shape[0])
+                    dispatched.append(self._dispatch(part, bucket, chunk_dev))
+            return self._fetch(dispatched)
         if n <= top:
             bucket = next(b for b in self.buckets if b >= n)
-            return self._run(images, bucket)
-        chunks = [self._run(images[i:i + top], top) for i in range(0, n, top)]
-        return jax.tree_util.tree_map(
-            lambda *parts: np.concatenate(parts, axis=0), *chunks)
+            return self._fetch([self._dispatch(images, bucket)])
+        return self._fetch([self._dispatch(images[i:i + top], top)
+                            for i in range(0, n, top)])
 
 
-def load_exported(path: str | Path) -> ExportedModel:
-    return ExportedModel(path)
+def load_exported(path: str | Path, data_parallel: bool = True) -> ExportedModel:
+    return ExportedModel(path, data_parallel=data_parallel)

@@ -14,6 +14,11 @@ Endpoints:
         body: PNG bytes (Content-Type: image/png) or JSON
         ``{"image_b64": <base64 PNG>}``; add ``?mask=1`` for a base64-PNG
         segmentation mask in the response.
+    POST /predict_batch   many images in ONE request → JSON predictions
+        body: JSON ``{"images_b64": [<base64 PNG>, ...]}`` →
+        ``{"predictions": [...], "count": N}``; offline clients get
+        device-batch efficiency without N HTTP round-trips (and the batch
+        shards across chips on multi-device backends).
 
 Backends: a ``jax.export`` artifact directory (:mod:`.export`) or a live
 checkpoint (model zoo + jit at startup).
@@ -133,14 +138,22 @@ class ArtifactBackend:
 
 @dataclass
 class _Pending:
-    image: np.ndarray
+    images: np.ndarray                 # (K, H, W, C) — K=1 for /predict
     event: threading.Event = field(default_factory=threading.Event)
-    result: Optional[dict] = None
+    results: Optional[list] = None     # K records
     error: Optional[str] = None
+
+    @property
+    def k(self) -> int:
+        return self.images.shape[0]
 
 
 class MicroBatcher:
-    """Coalesce concurrently queued requests into single device batches."""
+    """Coalesce concurrently queued requests into single device batches.
+
+    A request may carry K images (the ``/predict_batch`` endpoint); the
+    batcher flattens all queued images into one device batch (bounded by
+    ``max_batch`` TOTAL images) and slices each request's records back out."""
 
     def __init__(self, backend, max_batch: int = 64, batch_wait_ms: float = 5.0):
         self._backend = backend
@@ -149,19 +162,22 @@ class MicroBatcher:
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
         self.stats = {"requests": 0, "batches": 0, "max_batch_seen": 0,
-                      "batched_requests": 0}
+                      "batched_requests": 0, "images": 0}
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="mtbc-batcher")
         self._thread.start()
 
     def submit(self, image: np.ndarray, timeout_s: float = 120.0) -> dict:
-        p = _Pending(image=image)
+        return self.submit_many(image[None], timeout_s)[0]
+
+    def submit_many(self, images: np.ndarray, timeout_s: float = 120.0) -> list:
+        p = _Pending(images=images)
         self._queue.put(p)
         if not p.event.wait(timeout_s):
             raise TimeoutError("inference timed out")
         if p.error is not None:
             raise RuntimeError(p.error)
-        return p.result
+        return p.results
 
     def close(self):
         self._stop.set()
@@ -173,15 +189,18 @@ class MicroBatcher:
         except queue.Empty:
             return []
         batch = [first]
+        total = first.k
         deadline = time.monotonic() + self._wait_s
-        while len(batch) < self._max_batch:
+        while total < self._max_batch:
             remaining = deadline - time.monotonic()
             if remaining <= 0:
                 break
             try:
-                batch.append(self._queue.get(timeout=remaining))
+                nxt = self._queue.get(timeout=remaining)
             except queue.Empty:
                 break
+            batch.append(nxt)
+            total += nxt.k
         return batch
 
     def _loop(self):
@@ -190,30 +209,37 @@ class MicroBatcher:
             batch = self._collect()
             if not batch:
                 continue
+            n_images = sum(p.k for p in batch)
             try:
-                images = np.stack([p.image for p in batch])
+                images = np.concatenate([p.images for p in batch], axis=0)
                 out = self._backend.predict(images)
                 pp = getattr(self._backend, "postprocess", None)
                 pred = pp(out) if pp is not None else postprocess(
                     out, info["task"], info["n_classes"],
                     info["pipeline_refinement"],
                     info.get("softmax_in_forward", False))
-                for i, p in enumerate(batch):
-                    rec = pred.record(i)
-                    if pred.masks is not None:
-                        rec["_mask"] = pred.masks[i]
-                        rec["_mask_scale"] = pred.mask_scale
-                    p.result = rec
+                off = 0
+                for p in batch:
+                    recs = []
+                    for i in range(off, off + p.k):
+                        rec = pred.record(i)
+                        if pred.masks is not None:
+                            rec["_mask"] = pred.masks[i]
+                            rec["_mask_scale"] = pred.mask_scale
+                        recs.append(rec)
+                    p.results = recs
+                    off += p.k
             except Exception as e:  # surface to every waiting request
                 logging.exception("batch inference failed")
                 for p in batch:
                     p.error = f"{type(e).__name__}: {e}"
             finally:
                 self.stats["requests"] += len(batch)
+                self.stats["images"] += n_images
                 self.stats["batches"] += 1
                 self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"],
-                                                   len(batch))
-                if len(batch) > 1:
+                                                   n_images)
+                if n_images > 1:
                     self.stats["batched_requests"] += len(batch)
                 for p in batch:
                     p.event.set()
@@ -226,21 +252,42 @@ class _BodyTooLarge(ValueError):
     pass
 
 
-def _decode_body(handler: BaseHTTPRequestHandler) -> np.ndarray:
-    import cv2
-
+def _read_body(handler: BaseHTTPRequestHandler) -> bytes:
     length = int(handler.headers.get("Content-Length", 0))
     if length > MAX_BODY_BYTES:
         raise _BodyTooLarge(f"request body {length} B exceeds {MAX_BODY_BYTES} B")
-    body = handler.rfile.read(length)
+    return handler.rfile.read(length)
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    import cv2
+    img = cv2.imdecode(np.frombuffer(data, np.uint8), 0)
+    if img is None:
+        raise ValueError("request body is not a decodable image")
+    return img
+
+
+def _decode_body(handler: BaseHTTPRequestHandler) -> np.ndarray:
+    body = _read_body(handler)
     ctype = (handler.headers.get("Content-Type") or "").split(";")[0].strip()
     if ctype == "application/json":
         payload = json.loads(body)
         body = base64.b64decode(payload["image_b64"])
-    img = cv2.imdecode(np.frombuffer(body, np.uint8), 0)
-    if img is None:
-        raise ValueError("request body is not a decodable image")
-    return img
+    return _decode_png(body)
+
+
+MAX_BATCH_IMAGES = 1024  # largest accepted /predict_batch request
+
+
+def _decode_batch_body(handler: BaseHTTPRequestHandler) -> list:
+    """``/predict_batch`` body: JSON ``{"images_b64": [<base64 PNG>, ...]}``."""
+    payload = json.loads(_read_body(handler))
+    encoded = payload.get("images_b64")
+    if not isinstance(encoded, list) or not encoded:
+        raise ValueError('expected JSON {"images_b64": [<base64 PNG>, ...]}')
+    if len(encoded) > MAX_BATCH_IMAGES:
+        raise ValueError(f"batch of {len(encoded)} exceeds {MAX_BATCH_IMAGES}")
+    return [_decode_png(base64.b64decode(e)) for e in encoded]
 
 
 def make_handler(batcher: MicroBatcher, info: dict):
@@ -267,17 +314,34 @@ def make_handler(batcher: MicroBatcher, info: dict):
             else:
                 self._json(404, {"error": "not found"})
 
+        def _attach_mask(self, rec, want_mask):
+            mask = rec.pop("_mask", None)
+            scale = rec.pop("_mask_scale", 255)
+            if mask is not None and want_mask:
+                ok, png = cv2.imencode(".png", (mask * scale).astype(np.uint8))
+                if ok:
+                    rec["mask_b64"] = base64.b64encode(png.tobytes()).decode()
+            return rec
+
         def do_POST(self):
             url = urlparse(self.path)
-            if url.path != "/predict":
+            if url.path not in ("/predict", "/predict_batch"):
                 self._json(404, {"error": "not found"})
                 return
             t0 = time.perf_counter()
+            want_mask = parse_qs(url.query).get("mask", ["0"])[0] == "1"
             # client faults (bad payload) → 4xx; backend/infra faults → 5xx,
             # so retry policies and health alarms key on the right side
             try:
-                gray = _decode_body(self)
-                image = prepare_image(gray, info["size"], info["augmentation"])
+                if url.path == "/predict_batch":
+                    grays = _decode_batch_body(self)
+                    images = np.stack([
+                        prepare_image(g, info["size"], info["augmentation"])
+                        for g in grays])
+                else:
+                    gray = _decode_body(self)
+                    images = prepare_image(gray, info["size"],
+                                           info["augmentation"])[None]
             except _BodyTooLarge as e:
                 self._json(413, {"error": str(e)})
                 return
@@ -285,21 +349,22 @@ def make_handler(batcher: MicroBatcher, info: dict):
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
                 return
             try:
-                rec = batcher.submit(image)
+                recs = batcher.submit_many(images)
             except TimeoutError as e:
                 self._json(504, {"error": f"{type(e).__name__}: {e}"})
                 return
             except Exception as e:
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
-            mask = rec.pop("_mask", None)
-            scale = rec.pop("_mask_scale", 255)
-            if mask is not None and parse_qs(url.query).get("mask", ["0"])[0] == "1":
-                ok, png = cv2.imencode(".png", (mask * scale).astype(np.uint8))
-                if ok:
-                    rec["mask_b64"] = base64.b64encode(png.tobytes()).decode()
-            rec["latency_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
-            self._json(200, rec)
+            recs = [self._attach_mask(r, want_mask) for r in recs]
+            latency = round((time.perf_counter() - t0) * 1e3, 2)
+            if url.path == "/predict_batch":
+                self._json(200, {"predictions": recs, "count": len(recs),
+                                 "latency_ms": latency})
+            else:
+                rec = recs[0]
+                rec["latency_ms"] = latency
+                self._json(200, rec)
 
     return Handler
 

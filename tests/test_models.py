@@ -5,6 +5,7 @@ build each model on a random (1,128,128,1) input, run forward, check shapes.
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from multi_task_breast_cancer_tpu.models import (
@@ -196,3 +197,143 @@ def test_swin_unetr_rejects_unpartitionable_sizes():
     out = model.init_with_output(jax.random.PRNGKey(0),
                                  jnp.zeros((1, 64, 64, 1)))[0]
     assert out.shape == (1, 64, 64, 1)
+
+
+# ---------------------------------------------------------------------------
+# MONAI-zoo param-count table (hand-derived, VERDICT r03 item 9)
+# ---------------------------------------------------------------------------
+#
+# monai is not installed in this image, so the 5 MONAI-equivalent
+# architectures (reference factory ``experiment_init.py:53-67``) cannot be
+# forward-cross-checked like the 10 custom archs (``test_torch_parity.py``).
+# Instead, their parameter totals are derived LAYER BY LAYER below from the
+# published architecture definitions and asserted against the live models —
+# the same style of proof as MTnnUNet's hand-computed 15,819,799.
+#
+# Documented deviations from MONAI defaults (TPU-first design choices, each
+# changing the count in a stated, checkable way):
+# - AttentionUNet: MONAI's ConvBlock/AttentionBlock use BatchNorm (affine,
+#   +2C params per norm and running stats as buffers); ours uses the repo's
+#   affine-free InstanceNorm (0 params, no mutable state — no cross-device
+#   batch statistics under data parallelism). The conv/gate topology and all
+#   conv shapes match.
+# - SegResNet / UNet: norm parameter conventions follow the published
+#   defaults (GroupNorm affine 2C; InstanceNorm affine-free) — no deviation.
+
+
+def _c(cin, cout, k=3, bias=True):
+    """Conv parameter count: k·k·cin·cout (+ cout bias)."""
+    return k * k * cin * cout + (cout if bias else 0)
+
+
+def _n_params(model, shape=(1, 128, 128, 1)):
+    variables = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                               jnp.zeros(shape, jnp.float32))
+    return sum(int(np.prod(l.shape))
+               for l in jax.tree_util.tree_leaves(variables["params"]))
+
+
+def test_param_count_monai_unet_hand_derived():
+    """MONAI ``UNet(spatial_dims=2, channels=(w,2w,4w,8w), strides=(2,2,2),
+    num_res_units=0)`` at the factory's width 48: each level is ONE
+    Convolution (conv3×3 + InstanceNorm(affine-free, 0 params) + PReLU(1
+    shared slope)); decoder levels are transposed convs over the
+    cat(skip, below) input; the top up-layer is conv_only."""
+    from multi_task_breast_cancer_tpu.models.monai_zoo import UNet
+
+    w = 48
+    expected = (
+        (_c(1, w) + 1)                    # down1  (stride 2) + PReLU
+        + (_c(w, 2 * w) + 1)              # down2
+        + (_c(2 * w, 4 * w) + 1)          # down3
+        + (_c(4 * w, 8 * w) + 1)          # bottom (stride 1)
+        + (_c(4 * w + 8 * w, 2 * w) + 1)  # up3: convT(cat(d3, bottom))
+        + (_c(2 * w + 2 * w, w) + 1)      # up2
+        + _c(w + w, 1)                    # up1: conv_only, no norm/act
+    )
+    assert expected == 1_453_687
+    assert _n_params(UNet(regions=1, channels=(48, 96, 192, 384))) == expected
+
+
+def test_param_count_monai_attention_unet_hand_derived():
+    """MONAI ``AttentionUnet(channels=(w,2w,4w,8w), strides=(2,2,2))`` at
+    width 48: 2-conv encoder/decoder blocks, 2×2 transposed-conv upsamples,
+    additive attention gates (Wg, Wx 1×1 → inter = C/2; psi 1×1 → 1), final
+    1×1. Norms are the repo's affine-free InstanceNorm (see header note)."""
+    from multi_task_breast_cancer_tpu.models.monai_zoo import AttentionUNet
+
+    def block(cin, cout):
+        return _c(cin, cout) + _c(cout, cout)
+
+    def gate(c, inter):
+        return _c(c, inter, k=1) + _c(c, inter, k=1) + _c(inter, 1, k=1)
+
+    def upt(cin, cout):  # 2×2 transposed conv
+        return 2 * 2 * cin * cout + cout
+
+    w = 48
+    expected = (
+        block(1, w) + block(w, 2 * w) + block(2 * w, 4 * w)
+        + block(4 * w, 8 * w)                       # encoder
+        + upt(8 * w, 4 * w) + gate(4 * w, 2 * w)    # level 3
+        + block(8 * w, 4 * w)                       # dec3 over cat(a3, u3)
+        + upt(4 * w, 2 * w) + gate(2 * w, w)        # level 2
+        + block(4 * w, 2 * w)
+        + upt(2 * w, w) + gate(w, w // 2)           # level 1
+        + block(2 * w, w)
+        + _c(w, 1, k=1)                             # final 1×1
+    )
+    assert expected == 4_378_732
+    assert _n_params(AttentionUNet(regions=1,
+                                   channels=(48, 96, 192, 384))) == expected
+
+
+def test_param_count_monai_segresnet_hand_derived():
+    """MONAI ``SegResNet(spatial_dims=2, init_filters=8)``: stem conv, stages
+    of (1,2,2,4) pre-activation GroupNorm residual blocks with stride-2
+    downsample convs between, decoder = 1×1 conv + nearest-up + add-skip +
+    one block per level, final GroupNorm+1×1. GroupNorm affine = 2C."""
+    from multi_task_breast_cancer_tpu.models.monai_zoo import SegResNet
+
+    def gn(c):
+        return 2 * c
+
+    def resblock(c):
+        return gn(c) + _c(c, c) + gn(c) + _c(c, c)
+
+    f, blocks_down = 8, (1, 2, 2, 4)
+    expected = _c(1, f)  # stem
+    for i, n_blocks in enumerate(blocks_down):
+        feats = f * 2 ** i
+        if i > 0:
+            expected += _c(feats // 2, feats)       # stride-2 downsample
+        expected += n_blocks * resblock(feats)
+    for i in range(len(blocks_down) - 2, -1, -1):   # decoder levels 2,1,0
+        feats = f * 2 ** i
+        expected += _c(2 * feats, feats, k=1)       # 1×1 channel halving
+        expected += resblock(feats)                 # up_block
+    expected += gn(f) + _c(f, 1, k=1)               # final norm + head
+    assert expected == 395_985
+    assert _n_params(SegResNet(regions=1)) == expected
+
+
+def test_param_count_monai_family_frozen_totals():
+    """Frozen totals for the remaining MONAI-family twins (SwinUNETR's
+    attention stack and the UNet++ dense grid are too long to inline as
+    formulas; these constants pin the architectures against accidental
+    drift — any conv/feature change fails here first)."""
+    from multi_task_breast_cancer_tpu.models.swin_unetr import SwinUNETR
+    from multi_task_breast_cancer_tpu.models.unetpp import (
+        BasicUNetPlusPlus, MTUNetPlusPlus, UNetPlusPlusClassifier)
+
+    variables = SwinUNETR(regions=1).init(jax.random.PRNGKey(0),
+                                          jnp.zeros((1, 128, 128, 1)))
+    swin = sum(int(np.prod(l.shape))
+               for l in jax.tree_util.tree_leaves(variables["params"]))
+    assert swin == 6_311_899
+    assert _n_params(BasicUNetPlusPlus(regions=1,
+                                       deep_supervision=False)) == 2_410_081
+    assert _n_params(BasicUNetPlusPlus(regions=1,
+                                       deep_supervision=True)) == 2_410_180
+    assert _n_params(MTUNetPlusPlus(regions=1, n_classes=3)) == 14_927_455
+    assert _n_params(UNetPlusPlusClassifier(n_classes=3)) == 13_741_131

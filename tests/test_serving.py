@@ -541,3 +541,70 @@ def test_checkpoint_backend_data_parallel_matches_single(mt_artifact):
     b = postprocess(single.predict(images), "multitask", 3, True)
     np.testing.assert_allclose(a.probs, b.probs, rtol=2e-5, atol=2e-5)
     np.testing.assert_array_equal(a.masks, b.masks)
+
+
+def test_exported_model_data_parallel_matches_single_device(mt_artifact):
+    """Round-4 (VERDICT #6a): the artifact backend shards large batches
+    across all local devices (per-device weight copies, async dispatch) —
+    results must equal the single-device path exactly, for every branch
+    (pad-into-bucket, shard-per-device, chunk-by-largest-bucket)."""
+    _, _, art, *_ = mt_artifact
+    single = load_exported(art, data_parallel=False)
+    multi = load_exported(art, data_parallel=True)
+    assert len(multi._devices) == jax.device_count() >= 2
+    rng = np.random.default_rng(11)
+    for n in (1, 3, 8, 9, 37):
+        images = (rng.random((n, SIZE, SIZE, 1)) * 255).astype(np.float32)
+        a = jax.tree_util.tree_leaves(single.predict(images))
+        b = jax.tree_util.tree_leaves(multi.predict(images))
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            assert x.shape == y.shape, (n, x.shape, y.shape)
+            np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-5,
+                                       err_msg=f"n={n}")
+
+
+def test_predict_batch_endpoint(mt_artifact):
+    """Round-4 (VERDICT #6b): POST /predict_batch takes a JSON list of
+    base64 PNGs and returns per-image predictions in order, equal to the
+    single-image endpoint's answers."""
+    import urllib.error
+    import cv2
+
+    _, _, art, *_ = mt_artifact
+    backend = ArtifactBackend(str(art))
+    rng = np.random.default_rng(13)
+    grays = [(rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
+             for _ in range(3)]
+    pngs = [cv2.imencode(".png", g)[1].tobytes() for g in grays]
+
+    with InferenceServer(backend, max_batch=8, batch_wait_ms=2.0) as srv:
+        base = f"http://127.0.0.1:{srv.port}"
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                base + path, data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"}, method="POST")
+            return json.loads(urllib.request.urlopen(req).read())
+
+        singles = [post("/predict", {"image_b64":
+                                     base64.b64encode(p).decode()})
+                   for p in pngs]
+        batch = post("/predict_batch?mask=1", {
+            "images_b64": [base64.b64encode(p).decode() for p in pngs]})
+        assert batch["count"] == 3
+        assert len(batch["predictions"]) == 3
+        for got, want in zip(batch["predictions"], singles):
+            np.testing.assert_allclose(got["probs"], want["probs"],
+                                       rtol=1e-5, atol=1e-6)
+            assert got["predicted_class"] == want["predicted_class"]
+            assert "mask_b64" in got  # ?mask=1 applies per image
+
+        # malformed batch bodies → 400
+        for bad in ({}, {"images_b64": []}, {"images_b64": "zzz"}):
+            req = urllib.request.Request(
+                base + "/predict_batch", data=json.dumps(bad).encode(),
+                headers={"Content-Type": "application/json"}, method="POST")
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(req)
+            assert exc.value.code == 400

@@ -63,11 +63,15 @@ def _build_artifact(tmp: Path) -> Path:
     save_checkpoint(str(ckpt), state, epoch=0, val_loss=1.0)
     platform = jax.devices()[0].platform
     platforms = ("cpu",) if platform == "cpu" else ("cpu", platform)
+    # the BUCKET//ndev bucket lets data-parallel dispatch win its cost model
+    # (per-device shards pad into it instead of the full BUCKET program)
+    import jax as _jax
+    buckets = (1, max(1, BUCKET // max(_jax.device_count(), 1)), BUCKET)
     art = export_inference(cfg, "multitask", str(ckpt), tmp / "artifact",
-                           buckets=(1, BUCKET), size=SIZE,
+                           buckets=buckets, size=SIZE,
                            platforms=platforms)
     art_dev = export_inference(cfg, "multitask", str(ckpt), tmp / "artifact_dev",
-                               buckets=(1, BUCKET), size=SIZE,
+                               buckets=buckets, size=SIZE,
                                platforms=platforms, device_postprocess=True)
     return art, art_dev, cfg
 
@@ -119,6 +123,12 @@ def main() -> None:
         dp_block["offline_imgs_s_all_devices"] = round(offline, 1)
         dp_block["scaling"] = round(
             offline / max(dp_block["offline_imgs_s_single_device"], 1e-9), 2)
+        if jax.devices()[0].platform == "cpu":
+            dp_block["note"] = (
+                "virtual CPU devices share this host's physical cores — "
+                "scaling here verifies dispatch correctness/structure, not "
+                "hardware speedup; on real chips the per-device programs "
+                "run concurrently")
     # device-postprocessed artifact: uint8 mask + probs + counts come back
     # instead of every f32 deep-supervision head — same warmed device
     offline_dev = _offline_throughput(exported_dev, images)

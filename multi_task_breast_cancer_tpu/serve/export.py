@@ -252,6 +252,17 @@ class ExportedModel:
         return jax.tree_util.tree_map(
             lambda *parts: np.concatenate(parts, axis=0), *outs)
 
+    def _plan(self, n: int) -> list:
+        """Bucket sizes a serial execution of n images would run (chunks of
+        the largest bucket, tail padded into the smallest fitting bucket).
+        The sum is the padded per-device work — the dp-engagement cost model."""
+        top, plan, i = self.buckets[-1], [], 0
+        while i < n:
+            take = min(n - i, top)
+            plan.append(next(b for b in self.buckets if b >= take))
+            i += take
+        return plan
+
     def predict(self, images: np.ndarray):
         n = images.shape[0]
         if n == 0:
@@ -259,20 +270,27 @@ class ExportedModel:
         top = self.buckets[-1]
         ndev = len(self._devices)
         if ndev > 1 and n > self.buckets[0]:
-            # shard over devices: equal slices, each padded to its bucket
+            # engage data parallelism only when it WINS: per-device slices
+            # pad up to a compiled bucket, so with a sparse bucket list a
+            # small shard can cost as much padded work as the whole serial
+            # batch (8 devices each running the full bucket = 8x the FLOPs).
+            # Wall-clock model: serial = sum of its bucket plan; dp = the
+            # largest single device's plan (devices run concurrently).
             shard = -(-n // ndev)
             if shard > top:  # chunk per device by the largest bucket
                 shard = top * (-(-n // (top * ndev)))
-            dispatched = []
-            for i in range(0, n, shard):
-                sl = images[i:i + shard]
-                chunk_dev = self._devices[(i // shard) % ndev]
-                for j in range(0, sl.shape[0], top):
-                    part = sl[j:j + top]
-                    bucket = next(b for b in self.buckets
-                                  if b >= part.shape[0])
-                    dispatched.append(self._dispatch(part, bucket, chunk_dev))
-            return self._fetch(dispatched)
+            if sum(self._plan(shard)) < sum(self._plan(n)):
+                dispatched = []
+                for i in range(0, n, shard):
+                    sl = images[i:i + shard]
+                    chunk_dev = self._devices[(i // shard) % ndev]
+                    for j in range(0, sl.shape[0], top):
+                        part = sl[j:j + top]
+                        bucket = next(b for b in self.buckets
+                                      if b >= part.shape[0])
+                        dispatched.append(
+                            self._dispatch(part, bucket, chunk_dev))
+                return self._fetch(dispatched)
         if n <= top:
             bucket = next(b for b in self.buckets if b >= n)
             return self._fetch([self._dispatch(images, bucket)])

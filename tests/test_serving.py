@@ -608,3 +608,51 @@ def test_predict_batch_endpoint(mt_artifact):
             with pytest.raises(urllib.error.HTTPError) as exc:
                 urllib.request.urlopen(req)
             assert exc.value.code == 400
+
+
+def test_data_parallel_cost_model_skips_losing_shards(mt_artifact, monkeypatch):
+    """Data-parallel dispatch must engage only when it reduces padded work:
+    with a sparse bucket list, a small per-device shard pads up to a full
+    bucket, so 8 devices would each run the whole serial batch's FLOPs.
+    The engagement rule compares bucket plans (serve/export.py ``_plan``)."""
+    _, _, art, *_ = mt_artifact
+    model = load_exported(art, data_parallel=True)
+    assert len(model._devices) >= 2
+
+    # _plan arithmetic: buckets (1, 4) — 9 imgs = [4, 4, 1], 3 = [4], 4 = [4]
+    assert list(model.buckets) == [1, 4]
+    assert model._plan(9) == [4, 4, 1]
+    assert model._plan(3) == [4]
+    assert model._plan(1) == [1]
+
+    used_devices = []
+    orig = model._dispatch
+
+    def spy(images, bucket, device=None):
+        used_devices.append(device if device is not None
+                            else model._devices[0])
+        return orig(images, bucket, device)
+
+    monkeypatch.setattr(model, "_dispatch", spy)
+
+    # n=3 on buckets (1,4): shard=1 per device costs plan(1)=[1] < plan(3)=[4]
+    # only when bucket 1 exists — here it does, so dp engages and wins.
+    rng = np.random.default_rng(5)
+    model.predict((rng.random((3, SIZE, SIZE, 1)) * 255).astype(np.float32))
+    assert len(set(used_devices)) > 1
+
+    # Losing case: pretend the bucket list is sparse (only the top bucket).
+    # n=4: the per-device shard pads to the full bucket, so plan(shard)=[4]
+    # is not < plan(4)=[4] — dp would multiply total work by ndev for zero
+    # wall-clock gain; the cost model must refuse and run serially.
+    model.buckets = [4]
+    assert model._plan(2) == [4] and model._plan(4) == [4]
+    used_devices.clear()
+    model.predict((rng.random((4, SIZE, SIZE, 1)) * 255).astype(np.float32))
+    assert len(set(used_devices)) == 1
+
+    # Still-sparse but genuinely winning case: n=6 = serial [4,4] while the
+    # biggest per-device shard is one [4] — half the wall-clock, dp engages.
+    used_devices.clear()
+    model.predict((rng.random((6, SIZE, SIZE, 1)) * 255).astype(np.float32))
+    assert len(set(used_devices)) > 1

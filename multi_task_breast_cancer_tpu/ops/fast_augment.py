@@ -385,7 +385,9 @@ def fast_joint_transform(packed: Array, batch_idx: Array, key: jax.Array, *,
     import os
     # MTBC_FASTAUG_INTERPRET=1 forces the Pallas kernel in interpret mode —
     # lets CPU runs (tests, the multi-chip dryrun) execute the actual kernel
-    # logic instead of the jnp fallback executor
+    # logic instead of the jnp fallback executor. Read at TRACE time: it must
+    # be set before the Engine's first epoch traces; toggling it afterwards
+    # has no effect on the cached compiled program.
     interpret = interpret or os.environ.get("MTBC_FASTAUG_INTERPRET") == "1"
     b = batch_idx.shape[0]
     w = packed.shape[-1]

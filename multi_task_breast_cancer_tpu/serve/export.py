@@ -210,8 +210,11 @@ class ExportedModel:
         self.manifest = json.loads((self.path / MANIFEST).read_text())
         with np.load(self.path / WEIGHTS) as z:
             self.variables = _unflatten_variables({k: z[k] for k in z.files})
-        self._devices = list(jax.devices()) if data_parallel \
-            else [jax.devices()[0]]
+        # local_devices, not devices: on a multi-process run jax.devices()
+        # lists the other processes' non-addressable devices, and device_put
+        # to one raises
+        self._devices = list(jax.local_devices()) if data_parallel \
+            else [jax.local_devices()[0]]
         # Commit the weights to the device ONCE per device used: jax.Arrays
         # are reused across exported calls, numpy leaves would be re-uploaded
         # host→device on every predict (~63 MB/batch for the flagship — on a
@@ -252,6 +255,11 @@ class ExportedModel:
         return jax.tree_util.tree_map(
             lambda *parts: np.concatenate(parts, axis=0), *outs)
 
+    def _fit_bucket(self, size: int) -> int:
+        """Smallest compiled bucket that holds ``size`` images — the single
+        source of truth for bucket choice (dispatch AND the cost model)."""
+        return next(b for b in self.buckets if b >= size)
+
     def _plan(self, n: int) -> list:
         """Bucket sizes a serial execution of n images would run (chunks of
         the largest bucket, tail padded into the smallest fitting bucket).
@@ -259,7 +267,7 @@ class ExportedModel:
         top, plan, i = self.buckets[-1], [], 0
         while i < n:
             take = min(n - i, top)
-            plan.append(next(b for b in self.buckets if b >= take))
+            plan.append(self._fit_bucket(take))
             i += take
         return plan
 
@@ -286,14 +294,11 @@ class ExportedModel:
                     chunk_dev = self._devices[(i // shard) % ndev]
                     for j in range(0, sl.shape[0], top):
                         part = sl[j:j + top]
-                        bucket = next(b for b in self.buckets
-                                      if b >= part.shape[0])
-                        dispatched.append(
-                            self._dispatch(part, bucket, chunk_dev))
+                        dispatched.append(self._dispatch(
+                            part, self._fit_bucket(part.shape[0]), chunk_dev))
                 return self._fetch(dispatched)
         if n <= top:
-            bucket = next(b for b in self.buckets if b >= n)
-            return self._fetch([self._dispatch(images, bucket)])
+            return self._fetch([self._dispatch(images, self._fit_bucket(n))])
         return self._fetch([self._dispatch(images[i:i + top], top)
                             for i in range(0, n, top)])
 

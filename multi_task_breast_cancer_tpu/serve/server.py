@@ -98,7 +98,11 @@ class CheckpointBackend:
 
     def predict(self, images: np.ndarray):
         import jax
-        out = self._engine.predict(self._state, images, pad_to=self._pad_to)
+        # max_batch == pad_to: a flattened batch larger than the compiled
+        # shape (e.g. one oversized /predict_batch request) runs in fixed
+        # pad_to-sized chunks instead of jitting a fresh program per size
+        out = self._engine.predict(self._state, images,
+                                   max_batch=self._pad_to, pad_to=self._pad_to)
         return jax.tree_util.tree_map(np.asarray, out)
 
     def postprocess(self, out):
@@ -160,6 +164,7 @@ class MicroBatcher:
         self._max_batch = max_batch
         self._wait_s = batch_wait_ms / 1e3
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._carry: Optional[_Pending] = None  # over-budget request held
         self._stop = threading.Event()
         self.stats = {"requests": 0, "batches": 0, "max_batch_seen": 0,
                       "batched_requests": 0, "images": 0}
@@ -184,10 +189,16 @@ class MicroBatcher:
         self._thread.join(timeout=5)
 
     def _collect(self) -> list:
-        try:
-            first = self._queue.get(timeout=0.1)
-        except queue.Empty:
-            return []
+        if self._carry is not None:
+            first, self._carry = self._carry, None
+        else:
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                return []
+        # A single request larger than max_batch runs alone (backends chunk
+        # internally); coalescing never pushes the flattened total past
+        # max_batch — an over-budget request is carried to the next batch.
         batch = [first]
         total = first.k
         deadline = time.monotonic() + self._wait_s
@@ -198,6 +209,9 @@ class MicroBatcher:
             try:
                 nxt = self._queue.get(timeout=remaining)
             except queue.Empty:
+                break
+            if total + nxt.k > self._max_batch:
+                self._carry = nxt
                 break
             batch.append(nxt)
             total += nxt.k
@@ -239,7 +253,9 @@ class MicroBatcher:
                 self.stats["batches"] += 1
                 self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"],
                                                    n_images)
-                if n_images > 1:
+                # cross-REQUEST coalescing only: a lone multi-image request
+                # is device batching the client asked for, not coalescing
+                if len(batch) > 1:
                     self.stats["batched_requests"] += len(batch)
                 for p in batch:
                     p.event.set()

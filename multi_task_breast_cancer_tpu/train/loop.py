@@ -284,7 +284,7 @@ class Engine:
                 stack = fast_joint_transform(
                     aug_packed, batch_idx, k_aug, p_hflip=cfg.p_hflip,
                     p_vflip=cfg.p_vflip, max_angle=cfg.max_angle,
-                    mesh=self.mesh, fmt=self._aug_fmt)
+                    mesh=self.mesh, fmt=self._aug_fmt[0])
                 nm = self._aug_n_mask
                 msks, imgs = stack[..., :nm], stack[..., nm:]
                 imgs, msks, ctgt = self._shard_batch(imgs, msks, ctgt)
@@ -560,12 +560,18 @@ class Engine:
             stack = np.concatenate([_pad(ds.masks), _pad(ds.images)], axis=-1)
             planes, fmt = pack_channels(jnp.asarray(stack, np.float32),
                                         self.cfg.compute_dtype)
-            if self._aug_fmt is not None and self._aug_fmt != fmt:
+            # the mask/image split is part of the traced format too: a stack
+            # with the same total channel count but a different mask count
+            # would silently mis-split inside the cached jitted epoch
+            n_mask = ds.masks.shape[-1]
+            if self._aug_fmt is not None and \
+                    self._aug_fmt != (fmt, n_mask):
                 raise ValueError(
                     "this Engine's jitted epoch was traced for augmentation "
-                    f"format {self._aug_fmt}; a new Engine is needed for {fmt}")
-            self._aug_fmt = fmt
-            self._aug_n_mask = ds.masks.shape[-1]
+                    f"format {self._aug_fmt}; a new Engine is needed for "
+                    f"{(fmt, n_mask)}")
+            self._aug_fmt = (fmt, n_mask)
+            self._aug_n_mask = n_mask
             data["aug_packed"] = planes
         if self.mesh is not None:
             from multi_task_breast_cancer_tpu.parallel.mesh import replicate_to_mesh

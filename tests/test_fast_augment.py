@@ -421,3 +421,34 @@ def test_fast_augmentation_f32_and_augment_channels_engine():
     perm = plan_epoch_indices(n, 4, np.random.default_rng(0))
     state, m = engine.train_epoch(state, data, perm, jax.random.PRNGKey(1))
     assert np.isfinite(m["loss"])
+
+
+def test_device_data_rejects_changed_mask_split():
+    """Same TOTAL channel count but a different mask/image split must be
+    rejected: the jitted epoch closes over the split statically, so reusing
+    the cached program would silently feed mask channels as image channels."""
+    from multi_task_breast_cancer_tpu.data.dataset import ArrayDataset
+    from multi_task_breast_cancer_tpu.models import init_segmentation_model
+    from multi_task_breast_cancer_tpu.train.loop import Engine, EngineConfig
+    from multi_task_breast_cancer_tpu.train.optim import init_optimizer
+
+    rng = np.random.default_rng(6)
+    n, H = 4, 32
+
+    def _ds(n_mask, n_img):
+        return ArrayDataset(
+            images=rng.integers(0, 256, (n, H, H, n_img)).astype(np.float32),
+            masks=(rng.random((n, H, H, n_mask)) > 0.7).astype(np.float32),
+            labels=rng.integers(0, 3, n).astype(np.int32),
+            patient_ids=np.arange(n), class_names=["benign"] * n,
+            tumor_pixels=np.zeros(n, np.int64))
+
+    model = init_segmentation_model("BTSUNet", width=4, sequences=3,
+                                    deep_supervision=False)
+    engine = Engine(model, init_optimizer("Adam", 1e-3),
+                    EngineConfig(task="segmentation", batch_size=4,
+                                 fast_augmentation=True,
+                                 compute_dtype="float32"))
+    engine.device_data(_ds(1, 3))  # traces format: 1 mask + 3 image channels
+    with pytest.raises(ValueError, match="new Engine is needed"):
+        engine.device_data(_ds(2, 2))  # same 4 total channels, wrong split

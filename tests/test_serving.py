@@ -656,3 +656,66 @@ def test_data_parallel_cost_model_skips_losing_shards(mt_artifact, monkeypatch):
     used_devices.clear()
     model.predict((rng.random((6, SIZE, SIZE, 1)) * 255).astype(np.float32))
     assert len(set(used_devices)) > 1
+
+
+def test_checkpoint_backend_oversized_batch_chunks(mt_artifact):
+    """A flattened batch larger than the compiled shape (one oversized
+    /predict_batch request) must run in fixed pad_to-sized chunks — same
+    answers as per-image calls, no per-size recompilation path."""
+    cfg, ckpt, *_ = mt_artifact
+    live = CheckpointBackend(cfg, "multitask", ckpt, size=SIZE, max_batch=4)
+    rng = np.random.default_rng(7)
+    images = (rng.random((11, SIZE, SIZE, 1)) * 255).astype(np.float32)
+    big = jax.tree_util.tree_leaves(live.predict(images))
+    for i in range(11):
+        one = jax.tree_util.tree_leaves(live.predict(images[i:i + 1]))
+        for x, y in zip(big, one):
+            np.testing.assert_allclose(x[i:i + 1], y[:1], rtol=1e-4,
+                                       atol=1e-4, err_msg=f"i={i}")
+
+
+def test_microbatcher_bounds_flattened_batch():
+    """Coalescing never pushes the flattened device batch past max_batch:
+    an over-budget request is carried to the NEXT device batch, and a single
+    request larger than max_batch runs alone (backends chunk internally)."""
+    import multi_task_breast_cancer_tpu.serve.server as S
+
+    seen = []
+
+    class StubBackend:
+        info = {"task": "classification", "n_classes": 3,
+                "pipeline_refinement": False, "softmax_in_forward": False}
+
+        def predict(self, images):
+            seen.append(images.shape[0])
+            return {"logits": np.zeros((images.shape[0], 3), np.float32)}
+
+        def postprocess(self, out):
+            class _P:
+                masks = None
+                mask_scale = 1
+
+                def record(self, i):
+                    return {"i": int(i)}
+            return _P()
+
+    b = S.MicroBatcher(StubBackend(), max_batch=4, batch_wait_ms=40.0)
+    try:
+        img = np.zeros((1, SIZE, SIZE, 1), np.float32)
+        results = []
+        threads = [threading.Thread(
+            target=lambda k: results.append(len(b.submit_many(
+                np.repeat(img, k, axis=0)))), args=(k,))
+            for k in (3, 3, 3)]  # 9 images, bound 4 → no batch may mix 3+3
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert sorted(results) == [3, 3, 3]
+        assert all(n <= 4 for n in seen), seen
+        # oversized single request: runs alone, chunked by the backend
+        out = b.submit_many(np.repeat(img, 7, axis=0))
+        assert len(out) == 7
+        assert seen[-1] == 7  # one backend call; CheckpointBackend chunks
+    finally:
+        b.close()

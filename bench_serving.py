@@ -65,8 +65,7 @@ def _build_artifact(tmp: Path) -> Path:
     platforms = ("cpu",) if platform == "cpu" else ("cpu", platform)
     # the BUCKET//ndev bucket lets data-parallel dispatch win its cost model
     # (per-device shards pad into it instead of the full BUCKET program)
-    import jax as _jax
-    buckets = (1, max(1, BUCKET // max(_jax.device_count(), 1)), BUCKET)
+    buckets = (1, max(1, BUCKET // max(jax.device_count(), 1)), BUCKET)
     art = export_inference(cfg, "multitask", str(ckpt), tmp / "artifact",
                            buckets=buckets, size=SIZE,
                            platforms=platforms)

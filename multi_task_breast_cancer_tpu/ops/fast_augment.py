@@ -126,8 +126,7 @@ def pack_channels(stack: Array, compute_dtype: str) -> Tuple[Array, AugFormat]:
         x = stack.astype(jnp.bfloat16)
         if c % 2:
             x = jnp.concatenate([x, jnp.zeros_like(x[..., :1])], axis=-1)
-        u = jax.lax.bitcast_convert_type(x, jnp.uint16).astype(jnp.uint32)
-        planes = ((u[..., 0::2] << 16) | u[..., 1::2]).astype(jnp.int32)
+        planes = pack_bf16x2(x.reshape(*x.shape[:-1], -1, 2))
     elif compute_dtype == "float32":
         planes = jax.lax.bitcast_convert_type(stack.astype(jnp.float32),
                                               jnp.int32)
@@ -151,13 +150,7 @@ def unpack_channels(out: Array, fmt: AugFormat) -> Array:
     out = out[:, :, oy:oy + fmt.height, ox:ox + fmt.width]
     out = jnp.moveaxis(out, 1, -1)                # (B,H,W,P)
     if fmt.dtype == "bfloat16":
-        u = out.astype(jnp.uint32)
-        hi = jax.lax.bitcast_convert_type((u >> 16).astype(jnp.uint16),
-                                          jnp.bfloat16)
-        lo = jax.lax.bitcast_convert_type((u & 0xFFFF).astype(jnp.uint16),
-                                          jnp.bfloat16)
-        chans = jnp.stack([hi, lo], axis=-1).reshape(*out.shape[:-1],
-                                                     2 * fmt.n_planes)
+        chans = unpack_bf16x2(out).reshape(*out.shape[:-1], 2 * fmt.n_planes)
         return chans[..., :fmt.n_channels]
     return jax.lax.bitcast_convert_type(out, jnp.float32)
 

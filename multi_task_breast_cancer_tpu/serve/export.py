@@ -213,8 +213,21 @@ class ExportedModel:
         # local_devices, not devices: on a multi-process run jax.devices()
         # lists the other processes' non-addressable devices, and device_put
         # to one raises
-        self._devices = list(jax.local_devices()) if data_parallel \
-            else [jax.local_devices()[0]]
+        if data_parallel:
+            self._devices = list(jax.local_devices())
+        else:
+            # honor an active ``jax.default_device`` so one process can pin
+            # separate single-device replicas to different chips
+            dflt = None
+            try:
+                from jax._src import config as _jax_config
+                dflt = _jax_config.default_device.value
+                if isinstance(dflt, str):
+                    dflt = jax.local_devices(backend=dflt)[0]
+            except Exception:
+                dflt = None
+            self._devices = [dflt if dflt is not None
+                             else jax.local_devices()[0]]
         # Commit the weights to the device ONCE per device used: jax.Arrays
         # are reused across exported calls, numpy leaves would be re-uploaded
         # host→device on every predict (~63 MB/batch for the flagship — on a
@@ -299,8 +312,11 @@ class ExportedModel:
                 return self._fetch(dispatched)
         if n <= top:
             return self._fetch([self._dispatch(images, self._fit_bucket(n))])
-        return self._fetch([self._dispatch(images[i:i + top], top)
-                            for i in range(0, n, top)])
+        # serial chunking: the tail chunk fits a smaller bucket — keep this
+        # consistent with _plan, which models exactly this execution
+        return self._fetch([
+            self._dispatch(part, self._fit_bucket(part.shape[0]))
+            for part in (images[i:i + top] for i in range(0, n, top))])
 
 
 def load_exported(path: str | Path, data_parallel: bool = True) -> ExportedModel:

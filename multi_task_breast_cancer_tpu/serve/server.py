@@ -187,6 +187,19 @@ class MicroBatcher:
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5)
+        # Fail still-pending work (queued or carried between batches) so
+        # clients get an immediate error instead of waiting out their
+        # submit timeout. The loop thread has exited — no race on _carry.
+        leftovers = [] if self._carry is None else [self._carry]
+        self._carry = None
+        while True:
+            try:
+                leftovers.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        for p in leftovers:
+            p.error = "server shutting down"
+            p.event.set()
 
     def _collect(self) -> list:
         if self._carry is not None:

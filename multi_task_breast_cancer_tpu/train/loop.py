@@ -428,11 +428,22 @@ class Engine:
                     key: jax.Array, step_valid: Optional[np.ndarray] = None
                     ) -> Tuple[TrainState, Dict[str, float]]:
         sv = None if step_valid is None else jnp.asarray(step_valid)
+        self._check_aug_fmt(data)
         state, metrics = self._train_epoch(
             state, data["images"], data["masks"], data["cls_targets"],
             data["labels_int"], jnp.asarray(perm), key, sv,
             data.get("aug_packed"))
         return state, self._fetch_metrics(metrics)
+
+    def _check_aug_fmt(self, data: Dict[str, Any]) -> None:
+        """A packed-augmentation batch is only usable on the Engine whose
+        ``device_data`` built it (the packing format is closed over at trace
+        time) — fail with a clear message instead of a NoneType subscript."""
+        if data.get("aug_packed") is not None and self._aug_fmt is None:
+            raise ValueError(
+                "data contains 'aug_packed' but this Engine has no traced "
+                "augmentation format — pass data built by THIS Engine's "
+                "device_data (fast_augmentation packing is per-Engine)")
 
     def eval_epoch(self, state: TrainState, data: Dict[str, Any]) -> Dict[str, float]:
         metrics = self._eval_epoch(state, data["images"], data["masks"],
@@ -446,6 +457,7 @@ class Engine:
                              ) -> Tuple[TrainState, Dict[str, float], Dict[str, float]]:
         """One device program + one metric fetch for train epoch + validation."""
         sv = None if step_valid is None else jnp.asarray(step_valid)
+        self._check_aug_fmt(train_data)
         state, tm, vm = self._train_eval_epoch(
             state, train_data["images"], train_data["masks"],
             train_data["cls_targets"], train_data["labels_int"],

@@ -23,13 +23,14 @@ from collections import defaultdict
 from typing import Dict, Iterator
 
 # Backends whose runtime does not implement the profiler service. The axon
-# TPU tunnel is the known case; extendable without code changes via
-# MTBC_PROFILE_UNSUPPORTED (comma-separated platform names).
-_UNSUPPORTED_PLATFORMS = frozenset(
+# TPU tunnel is the known case; MTBC_PROFILE_UNSUPPORTED (comma-separated
+# platform names) ADDS to this set — it cannot remove 'axon', so extending
+# the list for another backend never re-enables the known-broken one.
+_UNSUPPORTED_PLATFORMS = frozenset({"axon"} | {
     p.strip()
-    for p in os.environ.get("MTBC_PROFILE_UNSUPPORTED", "axon").split(",")
+    for p in os.environ.get("MTBC_PROFILE_UNSUPPORTED", "").split(",")
     if p.strip()
-)
+})
 
 
 def _profiler_supported() -> bool:

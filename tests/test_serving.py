@@ -719,3 +719,70 @@ def test_microbatcher_bounds_flattened_batch():
         assert seen[-1] == 7  # one backend call; CheckpointBackend chunks
     finally:
         b.close()
+
+
+def test_serial_tail_uses_fitting_bucket(mt_artifact, monkeypatch):
+    """The serial chunked path (dp off) must pad the tail chunk into the
+    smallest fitting bucket, exactly as the _plan cost model describes —
+    not the full top bucket."""
+    _, _, art, *_ = mt_artifact
+    model = load_exported(art, data_parallel=False)
+    assert list(model.buckets) == [1, 4]
+
+    used_buckets = []
+    orig = model._dispatch
+
+    def spy(images, bucket, device=None):
+        used_buckets.append(bucket)
+        return orig(images, bucket, device)
+
+    monkeypatch.setattr(model, "_dispatch", spy)
+    rng = np.random.default_rng(11)
+    out = model.predict((rng.random((5, SIZE, SIZE, 1)) * 255)
+                        .astype(np.float32))
+    assert used_buckets == [4, 1] == model._plan(5)
+    assert all(x.shape[0] == 5 for x in jax.tree_util.tree_leaves(out))
+
+
+def test_single_device_honors_default_device(mt_artifact):
+    """data_parallel=False must respect an active jax.default_device so one
+    process can pin separate single-device replicas to different chips."""
+    _, _, art, *_ = mt_artifact
+    devs = jax.local_devices()
+    if len(devs) < 2:
+        pytest.skip("needs >=2 devices")
+    with jax.default_device(devs[1]):
+        model = load_exported(art, data_parallel=False)
+    assert model._devices == [devs[1]]
+    rng = np.random.default_rng(12)
+    out = model.predict((rng.random((2, SIZE, SIZE, 1)) * 255)
+                        .astype(np.float32))
+    assert all(np.isfinite(x).all() for x in jax.tree_util.tree_leaves(out))
+
+
+def test_microbatcher_close_fails_pending_requests():
+    """close() must fail queued/carried requests immediately instead of
+    leaving their clients to wait out the full submit timeout."""
+    import multi_task_breast_cancer_tpu.serve.server as S
+
+    class StubBackend:
+        info = {"task": "classification", "n_classes": 3,
+                "pipeline_refinement": False, "softmax_in_forward": False}
+
+        def predict(self, images):
+            return {"logits": np.zeros((images.shape[0], 3), np.float32)}
+
+    b = S.MicroBatcher(StubBackend(), max_batch=4, batch_wait_ms=1.0)
+    # stop the loop first so the pending work below is deterministic
+    b._stop.set()
+    b._thread.join(timeout=5)
+    img = np.zeros((1, SIZE, SIZE, 1), np.float32)
+    queued, carried = S._Pending(images=img), S._Pending(images=img)
+    b._queue.put(queued)
+    b._carry = carried
+    b.close()
+    for p in (queued, carried):
+        assert p.event.is_set()
+        assert p.error == "server shutting down"
+    with pytest.raises(RuntimeError, match="shutting down"):
+        raise RuntimeError(queued.error)

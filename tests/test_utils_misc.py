@@ -52,3 +52,21 @@ def test_plot_overlapping_writes_png(tmp_path):
     out = tmp_path / "overlap.png"
     plot_overlapping(img, mask, seg, str(out))
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_profile_unsupported_env_is_additive(monkeypatch):
+    """MTBC_PROFILE_UNSUPPORTED extends the built-in unsupported set — it can
+    never REMOVE 'axon' (the backend the guard exists for), so listing another
+    backend does not silently re-enable traces on the known-broken one."""
+    import importlib
+
+    from multi_task_breast_cancer_tpu.utils import profiling as P
+
+    monkeypatch.setenv("MTBC_PROFILE_UNSUPPORTED", "someother_backend")
+    try:
+        reloaded = importlib.reload(P)
+        assert "axon" in reloaded._UNSUPPORTED_PLATFORMS
+        assert "someother_backend" in reloaded._UNSUPPORTED_PLATFORMS
+    finally:
+        monkeypatch.delenv("MTBC_PROFILE_UNSUPPORTED")
+        importlib.reload(P)

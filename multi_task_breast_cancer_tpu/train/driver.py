@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import shutil
 import sys
 import time
@@ -61,7 +62,6 @@ from multi_task_breast_cancer_tpu.train.loop import (
 )
 from multi_task_breast_cancer_tpu.train.optim import (
     CosineAnnealingScheduler,
-    get_learning_rate,
     init_lr_scheduler,
     init_optimizer,
     set_learning_rate,
@@ -141,7 +141,7 @@ def quick_test_dice(engine: Engine, state, test_ds, fill_holes: bool = True,
     if engine.cfg.task == "multitask":
         out = out[-1]  # (cls, seg) or Adityan's (cls, rec, seg): seg is last
     final = out[-1] if isinstance(out, (tuple, list)) else out
-    probs = 1.0 / (1.0 + np.exp(-np.asarray(final[..., 0])))
+    probs = I._sigmoid(np.asarray(final[..., 0]))
     dices = []
     for i in range(len(test_ds)):
         seg = (probs[i] > 0.5).astype(np.uint8)
@@ -327,8 +327,15 @@ def _metrics_rows(path: str) -> list:
 
 
 def _rewrite_metrics(path: str, header: str, rows: list) -> None:
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
-    Path(path).write_text("\n".join([header] + list(rows)) + "\n")
+    """Atomically rewrite a fold's metrics.csv (tmp + os.replace, like
+    checkpoint.py): a kill mid-rewrite must not leave a torn file, because
+    --resume counts its rows to replay the host RNG — a torn partial row
+    would silently shift every later fold's epoch permutations."""
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = p.with_name(p.name + ".tmp")
+    tmp.write_text("\n".join([header] + list(rows)) + "\n")
+    os.replace(tmp, p)
 
 
 def _fold_complete(run_path: str, n: int) -> bool:
@@ -442,7 +449,9 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
         # through the wrong entry point would stamp the wrong schema onto
         # the existing rows and change fold membership (CV vs CV_PROD)
         m0 = Path(run_path) / "fold_0" / "metrics.csv"
-        if m0.is_file():
+        # a 0-byte metrics.csv (kill between file creation and the header
+        # write) carries no schema to check — the fold restarts cleanly
+        if m0.is_file() and m0.read_text().strip():
             header = m0.read_text().splitlines()[0].replace(" ", "")
             want = METRIC_HEADERS[(task, mode)].replace(" ", "")
             if header != want:
@@ -515,6 +524,15 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
     max_train_n = max(len(f.train) for f in folds)
     max_steps = -(-max_train_n // B)
     max_test_n = max(len(f.test) for f in folds)
+    # The fused train+eval program takes the val split as an input, so a
+    # val-size difference between folds would recompile the ENTIRE program
+    # including the expensive train scan. Val rows cannot be wrap-padded
+    # exactly (the loss criteria reduce with unweighted batch means), so
+    # when sizes differ we run train and eval as SEPARATE programs: the big
+    # train program stays fold-invariant (one compile) and only the small
+    # eval forward compiles per distinct val size. Costs one extra metric
+    # fetch per epoch — ~10-30 ms on the tunnel vs minutes of recompiles.
+    fuse_eval = len({len(f.val) for f in folds if f.val is not None}) <= 1
 
     for n, fold in enumerate(folds):
         logging.info("\n\n *********************  FOLD %d  ********************* \n\n", n)
@@ -621,21 +639,25 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
 
         epoch = resume_epoch - 1  # stays resume_epoch-1 when no epochs run
         for epoch in range(resume_epoch, cfg.training.epochs):
-            current_lr = get_learning_rate(state.opt_state)
+            # scheduler.lr mirrors what set_learning_rate last wrote into
+            # opt_state (and base_lr before any step) — reading it host-side
+            # avoids a per-epoch device fetch (~10-30 ms RPC on the tunnel)
+            current_lr = scheduler.lr
             t0 = time.perf_counter()
 
             perm = plan_epoch_indices(len(fold.train), cfg.data.batch_size,
                                       host_rng, pad_to_steps=max_steps)
             epoch_key = jax.random.fold_in(fold_key, epoch + 1)
             with maybe_profile(epoch, n):
-                if val_data is not None:
+                if val_data is not None and fuse_eval:
                     # fused train+eval: one device program, one metric fetch
                     state, tm, vm = engine.train_and_eval_epoch(
                         state, train_data, val_data, perm, epoch_key, step_valid)
                 else:
                     state, tm = engine.train_epoch(state, train_data, perm,
                                                    epoch_key, step_valid)
-                    vm = None
+                    vm = (engine.eval_epoch(state, val_data)
+                          if val_data is not None else None)
             check_finite_loss(tm["loss"])
             monitor = vm["loss"] if vm is not None else tm["loss"]
             if vm is not None:

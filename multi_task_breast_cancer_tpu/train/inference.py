@@ -57,6 +57,23 @@ def save_binary_segmentation(seg: np.ndarray, path: str, value_non_zero: int = 2
     cv2.imwrite(path, seg.astype(np.uint8))
 
 
+def _save_head_maps(heads, final, is_ds: bool, i: int, path: str, label: str,
+                    pid: int, *, sigmoid_ds: bool) -> None:
+    """Feature-map PNGs for sample ``i``: one per deep-supervision head (or
+    one for a headless model). ``sigmoid_ds`` preserves the reference's OWN
+    asymmetry: its binary-segmentation path saves ``torch.sigmoid(ds)``
+    (``utils/models.py:74``) while its multiclass and both multitask paths
+    save raw logits (``utils/models.py:138,219,312``) — not drift here."""
+    if is_ds:
+        for n, ds_head in enumerate(reversed(heads)):
+            save_features_map(
+                _sigmoid(ds_head[i]) if sigmoid_ds else ds_head[i],
+                f"{path}/features_map/{label}_{pid}_ds_{n}.png")
+    else:
+        save_features_map(final[i],
+                          f"{path}/features_map/{label}_{pid}_seg.png")
+
+
 def save_features_map(seg: np.ndarray, path: str) -> None:
     """Per-head feature-map PNG (``models.py:555-558``). Deviation (documented):
     maps are scaled to 0-255 so the PNGs are viewable (the reference writes raw
@@ -117,12 +134,8 @@ def inference_binary_segmentation(engine, state, test_ds: ArrayDataset, path: st
     for i in range(len(test_ds)):
         pid = int(test_ds.patient_ids[i])
         label = test_ds.class_names[i]
-        if is_ds:
-            for n, ds_head in enumerate(reversed(heads)):
-                save_features_map(_sigmoid(ds_head[i]),
-                                  f"{path}/features_map/{label}_{pid}_ds_{n}.png")
-        else:
-            save_features_map(final[i], f"{path}/features_map/{label}_{pid}_seg.png")
+        _save_head_maps(heads, final, is_ds, i, path, label, pid,
+                        sigmoid_ds=True)
 
         seg = (_sigmoid(final[i, :, :, 0]) > 0.5).astype(np.uint8)
         gt = test_ds.masks[i, :, :, 0].astype(np.uint8)
@@ -151,11 +164,8 @@ def inference_multitask_binary(engine, state, test_ds: ArrayDataset, path: str,
     for i in range(len(test_ds)):
         pid = int(test_ds.patient_ids[i])
         label = test_ds.class_names[i]
-        if is_ds:
-            for n, ds_head in enumerate(reversed(heads)):
-                save_features_map(ds_head[i], f"{path}/features_map/{label}_{pid}_ds_{n}.png")
-        else:
-            save_features_map(final[i], f"{path}/features_map/{label}_{pid}_seg.png")
+        _save_head_maps(heads, final, is_ds, i, path, label, pid,
+                        sigmoid_ds=False)
         seg = (_sigmoid(final[i, :, :, 0]) > 0.5).astype(np.uint8)
         metrics = calculate_metrics(test_ds.masks[i, :, :, 0].astype(np.uint8), seg, pid)
         metrics["class"] = label
@@ -204,11 +214,8 @@ def inference_multitask_multiclass(engine, state, test_ds: ArrayDataset, path: s
     for i in range(len(test_ds)):
         pid = int(test_ds.patient_ids[i])
         label = test_ds.class_names[i]
-        if is_ds:
-            for n, ds_head in enumerate(reversed(heads)):
-                save_features_map(ds_head[i], f"{path}/features_map/{label}_{pid}_ds_{n}.png")
-        else:
-            save_features_map(final[i], f"{path}/features_map/{label}_{pid}_seg.png")
+        _save_head_maps(heads, final, is_ds, i, path, label, pid,
+                        sigmoid_ds=False)
 
         seg = raw_masks[i].copy()
         if threshold > 0:

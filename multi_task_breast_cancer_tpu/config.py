@@ -79,8 +79,10 @@ class TrainingConfig:
     per_epoch_test_artifacts: bool = False
     # Opt-in 3-shear Pallas augmentation (PARITY D13): identical flip/angle
     # draws, rotation resampled per shear instead of in one gather — measured
-    # ~8x faster augmentation (~+20% train throughput) on TPU v5e. Requires
-    # compute_dtype bfloat16 and no extra augment channels.
+    # ~8x faster augmentation (~+20% train throughput at 128²) on TPU v5e.
+    # Works with bfloat16 AND float32 compute, any channel count (augment
+    # channels pack into int32 planes), and non-square EVEN image dims; only
+    # odd dims fall back. Incompatible with training.spatial_partitions.
     fast_augmentation: bool = False
 
 

@@ -71,7 +71,13 @@ def _fused_dice_bwd(smooth_nr, smooth_dr, squared_pred, residuals, g):
     # d(loss_plane)/dp_i, then mean over planes and sigmoid chain rule
     dLdp = -(2.0 * target * denom - numer * dp_sq) / jnp.square(denom)
     dlogits = g * dLdp * p * (1.0 - p) / n_planes
-    return dlogits.astype(logits.dtype), None
+    # target cotangent (symmetric in p/t apart from the sigmoid chain):
+    # targets are constants on every training path here, but soft/learnable
+    # targets (distillation, label smoothing) must not silently get zeros
+    dt_sq = 2.0 * target if squared_pred else 1.0
+    dLdt = -(2.0 * p * denom - numer * dt_sq) / jnp.square(denom)
+    dtarget = g * dLdt / n_planes
+    return dlogits.astype(logits.dtype), dtarget.astype(target.dtype)
 
 
 fused_dice_loss.defvjp(_fused_dice_fwd, _fused_dice_bwd)

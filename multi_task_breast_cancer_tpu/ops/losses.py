@@ -89,9 +89,14 @@ def generalized_dice_loss(logits: Array, target: Array, *, sigmoid: bool = True,
     denominator = ground_o + pred_o
     w = 1.0 / jnp.square(ground_o)
     # MONAI replaces inf weights (empty ground truth) with the per-sample max
-    finite_w = jnp.where(jnp.isinf(w), -jnp.inf, w)
-    max_w = jnp.max(finite_w, axis=-1, keepdims=True)
-    w = jnp.where(jnp.isinf(w), max_w, w)
+    # of the OTHER weights — infs are zeroed FIRST, then maxed, so a sample
+    # whose every class is empty gets w=0 (finite 0 loss via the smooths),
+    # not NaN. Order matters: taking the max before zeroing yields -inf/NaN
+    # for all-empty samples (e.g. 'normal' BUSI images, mask all zero).
+    infs = jnp.isinf(w)
+    w = jnp.where(infs, 0.0, w)
+    max_w = jnp.max(w, axis=-1, keepdims=True)
+    w = jnp.where(infs, max_w, w)
     numer = 2.0 * jnp.sum(intersection * w, axis=-1) + smooth_nr
     denom = jnp.sum(denominator * w, axis=-1) + smooth_dr
     return jnp.mean(1.0 - numer / denom)

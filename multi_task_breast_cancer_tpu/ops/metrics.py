@@ -122,8 +122,15 @@ def jaccard_index(tp: float, fp: float, fn: float, gt: np.ndarray, seg: np.ndarr
 
 
 def haussdorf_distance(gt: np.ndarray, seg: np.ndarray) -> float:
-    """Symmetric Hausdorff over 2-D boolean masks; conventions of
-    ``metrics.py:238-252``: 0 if both empty, NaN if exactly one empty."""
+    """Reference-parity 'Hausdorff' (``metrics.py:238-252``): 0 if both
+    empty, NaN if exactly one empty — and, like the reference, the raw 2-D
+    masks go straight into ``scipy.directed_hausdorff``, which treats each
+    image ROW as one W-dimensional point. That is NOT the geometric Hausdorff
+    distance between the mask point sets (a purely horizontal shift barely
+    moves it); the quirk is preserved so the per-image CSV column matches the
+    reference's reported values. For a geometric distance see the
+    Hausdorff-DT loss (``ops/losses.py``), which uses true distance
+    transforms."""
     gt2 = np.asarray(gt, dtype=bool)
     seg2 = np.asarray(seg, dtype=bool)
     while gt2.ndim > 2:
@@ -151,6 +158,9 @@ def calculate_metrics(ground_truth: np.ndarray, segmentation: np.ndarray,
         HAUSSDORF: haussdorf_distance(gt, seg),
         DICE: dice_score(tp, fp, fn, gt, seg),
         SENS: sensitivity(tp, fn),
+        # unguarded like the reference (``metrics.py:70,193``): an all-
+        # positive GT (no background pixels — impossible for BUSI masks)
+        # raises ZeroDivisionError there too; the multiclass path guards it
         SPEC: specificity(tn, fp),
         ACC: accuracy(tp, tn, fp, fn),
         JACC: jaccard_index(tp, fp, fn, gt, seg),
@@ -196,7 +206,11 @@ def calculate_metrics_multiclass_segmentation(ground_truth: np.ndarray,
 def binary_classification_metrics(ground_truth, predictions) -> Dict[str, float]:
     """Reference ``metrics.py:387-400``."""
     from sklearn.metrics import confusion_matrix as sk_cm
-    tn, fp, fn, tp = sk_cm(y_true=ground_truth, y_pred=predictions).ravel()
+    # labels pinned: with single-class data sklearn returns a 1x1 matrix and
+    # the 4-way unpack crashes (the reference would crash here too,
+    # ``metrics.py:391-392``; identical output whenever both classes appear)
+    tn, fp, fn, tp = sk_cm(y_true=ground_truth, y_pred=predictions,
+                           labels=[0, 1]).ravel()
     return {
         "Precision": precision(tp, fp),
         "Sensitivity": sensitivity(tp, fn),

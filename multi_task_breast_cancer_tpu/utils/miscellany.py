@@ -89,6 +89,11 @@ def save_segmentation_results(path: str) -> None:
                  .groupby("fold").mean(numeric_only=True)
                  .reset_index().drop(columns="fold").T)
     grouped.columns = [f"fold {c}" for c in grouped.columns]
+    # Reference quirks preserved for artifact parity (``miscellany.py:109,
+    # 117-118``): fold files come from a LEXICOGRAPHIC glob (fold10 sorts
+    # before fold2 at CV>=10), and 'std' is computed AFTER the 'mean' column
+    # was appended, so it includes the mean itself (shrinks by
+    # sqrt((n-1)/n)). The LaTeX cells match the reference's tables exactly.
     grouped["mean"] = grouped.mean(axis=1)
     grouped["std"] = grouped.std(axis=1)
     grouped["latex"] = (round(grouped["mean"], 3).astype(str).str.ljust(5, "0")
@@ -110,6 +115,10 @@ def save_classification_results(path: str, n_classes: int) -> None:
     if not results:
         logging.warning("save_classification_results: no fold results under %s", path)
         return
+    # Reference quirks preserved for artifact parity (``miscellany.py:145-148``):
+    # concat of single-row frames keeps index 0 for every row, so after .T the
+    # per-fold columns are ALL labelled 'fold 0'; 'std' includes the appended
+    # 'mean' column (see save_segmentation_results).
     grouped = pd.concat(results).T
     grouped.columns = [f"fold {c}" for c in grouped.columns]
     grouped["mean"] = grouped.mean(axis=1)

@@ -64,3 +64,20 @@ def test_criterion_under_jit_in_multitask_combo():
     g2 = jax.jit(jax.grad(total_ref, argnums=(0, 1)))(logits, cls_logits)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.parametrize("squared_pred", [True, False])
+def test_target_gradient_parity_vs_autodiff(squared_pred):
+    """The custom VJP must return the TRUE target cotangent (not zeros):
+    soft/learnable targets (distillation, label smoothing) would otherwise
+    train silently wrong."""
+    logits, target = _data(seed=3)
+    target = target * 0.7 + 0.1  # soft targets — gradient is nonzero
+    g_fused = jax.grad(lambda t: fused_dice_loss(logits, t, 1.0, 1.0,
+                                                 squared_pred))(target)
+    g_ref = jax.grad(lambda t: dice_loss(logits, t, smooth_nr=1.0,
+                                         smooth_dr=1.0,
+                                         squared_pred=squared_pred))(target)
+    assert float(jnp.abs(g_ref).max()) > 0
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               atol=1e-6, rtol=1e-5)

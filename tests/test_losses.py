@@ -175,3 +175,37 @@ class TestFactories:
         with pytest.raises(FloatingPointError):
             L.check_finite_loss(float("nan"))
         L.check_finite_loss(1.0)
+
+
+class TestGeneralizedDiceEmptyMask:
+    """MONAI inf-weight semantics: infs are zeroed FIRST, then maxed — a
+    sample whose every class is empty (a 'normal' BUSI image with an all-zero
+    mask) gets weight 0 and a finite ~0 loss, never NaN."""
+
+    def test_all_empty_sample_finite(self):
+        import jax.numpy as jnp
+
+        from multi_task_breast_cancer_tpu.ops.losses import generalized_dice_loss
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(rng.normal(size=(3, 8, 8, 1)).astype(np.float32))
+        target = (rng.random((3, 8, 8, 1)) > 0.6).astype(np.float32)
+        target[1] = 0.0  # one sample entirely tumor-free
+        loss = generalized_dice_loss(logits, jnp.asarray(target))
+        assert np.isfinite(float(loss)), "empty-mask sample must not NaN"
+        # the empty sample contributes ~0 (numer=smooth_nr, denom=smooth_dr)
+        per_kept = generalized_dice_loss(
+            logits[np.array([0, 2])], jnp.asarray(target[np.array([0, 2])]))
+        np.testing.assert_allclose(float(loss), float(per_kept) * 2 / 3,
+                                   rtol=1e-4)
+
+    def test_all_empty_batch_finite_and_grad(self):
+        import jax
+        import jax.numpy as jnp
+
+        from multi_task_breast_cancer_tpu.ops.losses import generalized_dice_loss
+        logits = jnp.zeros((2, 8, 8, 1), jnp.float32)
+        target = jnp.zeros((2, 8, 8, 1), jnp.float32)
+        loss = generalized_dice_loss(logits, target)
+        assert np.isfinite(float(loss))
+        g = jax.grad(lambda x: generalized_dice_loss(x, target))(logits)
+        assert np.isfinite(np.asarray(g)).all()

@@ -100,3 +100,12 @@ class TestClassificationReports:
         for key in ("precision_macro", "recall_weighted", "f1_micro",
                     "f1_class_0", "accuracy"):
             assert key in m
+
+
+def test_binary_metrics_single_class_no_crash():
+    """Single-class data yields a 1x1 confusion matrix without pinned labels;
+    the 4-way unpack must still work (labels=[0,1] pinned — the reference
+    crashes here, metrics.py:391-392; identical output otherwise)."""
+    m = M.binary_classification_metrics([0, 0, 0], [0, 0, 0])
+    assert m["Accuracy"] == 1.0
+    assert np.isnan(m["Precision"]) or m["Precision"] == 0  # tp=fp=0

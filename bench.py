@@ -5,9 +5,16 @@ path of ``training_multitask``.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} where
 the extra fields ground the claim:
-- ``roofline``: achieved TFLOP/s and HBM GB/s from XLA's compiled cost
-  analysis vs TPU v5e peaks — evidence for *why* the throughput is what it is
-  (the model is HBM-bandwidth-bound at this batch size, not MXU-bound).
+- ``roofline``: achieved TFLOP/s (XLA cost analysis x scan trip count) vs the
+  v5e bf16 peak, plus the modeled byte volume as an explicit UPPER bound —
+  XLA's 'bytes accessed' counts post-fusion operand+output bytes and can
+  exceed the hardware HBM peak, so no bandwidth-utilization percentage is
+  derived from it (earlier rounds did, wrongly).
+- ``no_augmentation_ceiling``: the same step with transforms off — the
+  empirical speed limit; the headline as a fraction of it is the honest
+  "distance to this model's own ceiling" number. The memory-bound evidence
+  is empirical: batch-size saturation (B512=B256), remat measured slower,
+  ~25% MXU at the saturated batch.
 - ``baseline``: the assumed A100 anchor (the reference publishes no
   throughput numbers) plus the MEASURED reference torch loop from
   ``bench_baseline_torch.py`` (committed in BASELINE_TORCH.json).
@@ -126,6 +133,33 @@ def main() -> None:
     imgs_per_sec = total_imgs / dt
     imgs_per_sec_per_chip = imgs_per_sec / n_devices
 
+    def arm_steady_rate(run_one_epoch) -> float:
+        """Mini-ramp + timed window for a secondary arm. A fresh compile
+        idles the chip long enough to drop its power state (~3.5x slower
+        clocks), and the arm's few timed epochs are too short to re-ramp —
+        so each arm repeats 2-epoch windows until the rate stabilizes
+        (<5% drift), exactly like the headline measurement, then times
+        n_epochs back-to-back with one materializing fetch."""
+        prev = 0.0
+        for _w in range(15):
+            t0 = time.perf_counter()
+            m = None
+            for _e in range(2):
+                m = run_one_epoch()
+            _ = float(m["loss"])
+            rate = 2 * n / (time.perf_counter() - t0)
+            if prev and abs(rate - prev) / rate < 0.05:
+                break
+            prev = rate
+        t0 = time.perf_counter()
+        m = None
+        for _e in range(n_epochs):
+            m = run_one_epoch()
+        loss = float(m["loss"])
+        arm_dt = time.perf_counter() - t0
+        assert np.isfinite(loss)
+        return total_imgs / arm_dt / n_devices
+
     # opt-in fast path (training.fast_augmentation, PARITY D13): 3-shear
     # Pallas augmentation — same flip/angle draws, rotation resampled per
     # shear. Measured here on the SAME warmed chip, reported separately; the
@@ -139,29 +173,69 @@ def main() -> None:
         fdata = fengine.device_data(ds)
         fstate = create_train_state(model, tx, jax.random.PRNGKey(0),
                                     jnp.zeros((1, H, H, 1)))
-        # compile + 1 warm epoch, then timed epochs
+        # compile + 1 warm epoch, then ramped measurement
         perm = plan_epoch_indices(n, batch, host_rng)
         fstate, _ = fengine.train_epoch(fstate, fdata, perm, jax.random.PRNGKey(90))
-        t0 = time.perf_counter()
-        fm = None
-        for e in range(n_epochs):
+        f_box = {"state": fstate, "e": 0}
+
+        def _fast_epoch():
             perm = plan_epoch_indices(n, batch, host_rng)
-            fstate, fm = fengine._train_epoch(
-                fstate, fdata["images"], fdata["masks"], fdata["cls_targets"],
-                fdata["labels_int"], jnp.asarray(perm),
-                jax.random.PRNGKey(91 + e), None, fdata.get("aug_packed"))
-        f_loss = float(fm["loss"])
-        f_dt = time.perf_counter() - t0
-        assert np.isfinite(f_loss)
+            f_box["e"] += 1
+            f_box["state"], fm = fengine._train_epoch(
+                f_box["state"], fdata["images"], fdata["masks"],
+                fdata["cls_targets"], fdata["labels_int"], jnp.asarray(perm),
+                jax.random.PRNGKey(91 + f_box["e"]), None,
+                fdata.get("aug_packed"))
+            return fm
+
+        f_rate = arm_steady_rate(_fast_epoch)
         fast_block = {
-            "imgs_per_sec_per_chip": round(total_imgs / f_dt / n_devices, 2),
-            "speedup_vs_parity_aug": round(dt / f_dt, 3),
+            "imgs_per_sec_per_chip": round(f_rate, 2),
+            "speedup_vs_parity_aug": round(f_rate / imgs_per_sec_per_chip, 3),
             "note": "opt-in training.fast_augmentation=true (3-shear Pallas "
                     "rotation, PARITY D13); identical flip/angle draws, "
                     "per-shear resampling",
         }
     except Exception as exc:  # keep the headline bench robust
         fast_block = {"unavailable": str(exc)[:200]}
+
+    # empirical no-augmentation ceiling: the same train step with transforms
+    # off, on the same warmed chip. The headline value as a fraction of this
+    # is the honest "how close to this model's own speed limit" number (the
+    # XLA 'bytes accessed' metric cannot provide one — see roofline note).
+    noaug_block = {}
+    try:
+        ncfg = EngineConfig(task="multitask", n_classes=3, batch_size=batch,
+                            alpha=0.35, inversely_weighted=True,
+                            compute_dtype="bfloat16", use_transforms=False)
+        nengine = Engine(model, tx, ncfg, mesh=mesh)
+        ndata = nengine.device_data(ds)
+        nstate = create_train_state(model, tx, jax.random.PRNGKey(0),
+                                    jnp.zeros((1, H, H, 1)))
+        perm = plan_epoch_indices(n, batch, host_rng)
+        nstate, _ = nengine.train_epoch(nstate, ndata, perm,
+                                        jax.random.PRNGKey(70))
+        n_box = {"state": nstate, "e": 0}
+
+        def _noaug_epoch():
+            perm = plan_epoch_indices(n, batch, host_rng)
+            n_box["e"] += 1
+            n_box["state"], nm = nengine._train_epoch(
+                n_box["state"], ndata["images"], ndata["masks"],
+                ndata["cls_targets"], ndata["labels_int"], jnp.asarray(perm),
+                jax.random.PRNGKey(71 + n_box["e"]))
+            return nm
+
+        noaug_rate = arm_steady_rate(_noaug_epoch)
+        noaug_block = {
+            "imgs_per_sec_per_chip": round(noaug_rate, 2),
+            "headline_fraction_of_ceiling": round(
+                imgs_per_sec_per_chip / noaug_rate, 3),
+            "note": "identical step with data.transforms disabled — the "
+                    "empirical speed limit of the model+optimizer side",
+        }
+    except Exception as exc:
+        noaug_block = {"unavailable": str(exc)[:200]}
 
     # inference (serving path): batched multitask forward on the already-
     # warmed chip. Dispatches queue asynchronously; ONE value fetch at the
@@ -197,8 +271,20 @@ def main() -> None:
         ).compile()
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        flops = float(ca.get("flops", 0.0))
-        bytes_accessed = float(ca.get("bytes accessed", 0.0))
+        # XLA's cost analysis counts a scan/while BODY exactly ONCE,
+        # independent of trip count (verified by compiling 1/2/4-step
+        # epochs: identical flops/bytes) — multiply by the scan trip count
+        # for the true per-epoch figures. Earlier rounds missed this, which
+        # understated MXU utilization by steps_per_epoch AND made the
+        # "bytes accessed" number look like a plausible HBM bandwidth; the
+        # scan-corrected bytes EXCEED the hardware peak ~3x, proving that
+        # metric sums post-fusion operand+output bytes (an upper bound on
+        # HBM traffic, much of it VMEM-resident), so no HBM utilization is
+        # claimed from it. The memory-bound evidence is empirical instead:
+        # batch-size saturation, remat measured slower, and the no_augment
+        # ceiling below.
+        flops = float(ca.get("flops", 0.0)) * steps_per_epoch
+        bytes_accessed = float(ca.get("bytes accessed", 0.0)) * steps_per_epoch
         dt_per_epoch = dt / n_epochs
         tflops = flops / dt_per_epoch / 1e12 / n_devices
         gbps = bytes_accessed / dt_per_epoch / 1e9 / n_devices
@@ -206,11 +292,13 @@ def main() -> None:
             "tflops_achieved": round(tflops, 1),
             "tflops_peak_bf16_v5e": V5E_PEAK_BF16_TFLOPS,
             "mxu_utilization": round(tflops / V5E_PEAK_BF16_TFLOPS, 3),
-            "hbm_gbps_achieved": round(gbps, 1),
+            "modeled_bytes_gbps_upper_bound": round(gbps, 1),
             "hbm_gbps_peak_v5e": V5E_PEAK_HBM_GBPS,
-            "hbm_utilization": round(gbps / V5E_PEAK_HBM_GBPS, 3),
-            "note": "per-epoch FLOPs/bytes from XLA compiled cost_analysis "
-                    "(bytes = modeled HBM traffic of the fused program)",
+            "note": "FLOPs/bytes from XLA compiled cost_analysis x scan trip "
+                    "count (the analysis counts a scan body once); 'bytes "
+                    "accessed' sums post-fusion operand+output bytes — an "
+                    "UPPER BOUND on HBM traffic that can exceed the hardware "
+                    "peak, so it is reported without a utilization claim",
         }
     except Exception as exc:  # cost_analysis availability varies by runtime
         roofline = {"unavailable": str(exc)[:200]}
@@ -235,6 +323,7 @@ def main() -> None:
         "roofline": roofline,
         "baseline": baseline,
         "fast_augmentation": fast_block,
+        "no_augmentation_ceiling": noaug_block,
         "inference": inf_block,
         "ramp_windows": ramp_windows,
         # False = the 5% window-to-window stability criterion was never met;

@@ -84,7 +84,10 @@ _DS_FIXED = {"UNet": False, "AttentionUNet": False, "ResidualUNet": False,
              "nnUNet": True, "MTnnUNet": True, "Adityan": False}
 
 
-_DEFAULT_WIDTH = 24  # ModelConfig.width default — not a deliberate override
+# values that do NOT indicate a deliberate override: None (factory default,
+# caller never passed the knob) and the ModelConfig default 24 (the driver
+# always forwards cfg.model.width, so an untouched config arrives as 24)
+_DEFAULT_WIDTH = 24
 
 
 def _warn_ignored_knobs(architecture: str, width=None,
@@ -115,10 +118,14 @@ def _reject_nnunet_widths(architecture: str, nnunet_widths) -> None:
 
 
 def init_segmentation_model(architecture: str, sequences: int = 1, regions: int = 1,
-                            width: int = 48, deep_supervision: bool = False,
+                            width: Optional[int] = None,
+                            deep_supervision: Optional[bool] = None,
                             nnunet_widths=None) -> nn.Module:
     logging.info("Creating %s model (fed with %d sequences)", architecture, sequences)
+    # None = knob not passed (factory default): never warn for it
     _warn_ignored_knobs(architecture, width, deep_supervision)
+    width = 48 if width is None else width
+    deep_supervision = False if deep_supervision is None else deep_supervision
     if architecture != "nnUNet":
         _reject_nnunet_widths(architecture, nnunet_widths)
     if architecture == "BTSUNet":
@@ -145,9 +152,11 @@ def init_segmentation_model(architecture: str, sequences: int = 1, regions: int 
 
 
 def init_classification_model(architecture: str, sequences: int = 1, n_classes: int = 3,
-                              width: int = 48, nnunet_widths=None) -> nn.Module:
+                              width: Optional[int] = None,
+                              nnunet_widths=None) -> nn.Module:
     logging.info("Creating %s model (fed with %d sequences)", architecture, sequences)
     _warn_ignored_knobs(architecture, width)
+    width = 48 if width is None else width
     if architecture != "nnUNetClassifier":
         _reject_nnunet_widths(architecture, nnunet_widths)
     if architecture == "BTSUNetClassifier":
@@ -162,11 +171,13 @@ def init_classification_model(architecture: str, sequences: int = 1, n_classes: 
 
 
 def init_multitask_model(architecture: str, sequences: int = 1, regions: int = 1,
-                         n_classes: int = 3, width: int = 48,
-                         deep_supervision: bool = False,
+                         n_classes: int = 3, width: Optional[int] = None,
+                         deep_supervision: Optional[bool] = None,
                          nnunet_widths=None) -> nn.Module:
     logging.info("Creating %s model (fed with %d sequences)", architecture, sequences)
     _warn_ignored_knobs(architecture, width, deep_supervision)
+    width = 48 if width is None else width
+    deep_supervision = False if deep_supervision is None else deep_supervision
     if architecture != "MTnnUNet":
         _reject_nnunet_widths(architecture, nnunet_widths)
     if architecture == "Multi_BTSUNet":

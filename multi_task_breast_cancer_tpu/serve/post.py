@@ -93,8 +93,11 @@ def postprocess(out, task: str, n_classes: int, pr_enabled: bool,
             probs = _softmax(logits) if n_classes > 2 else _sigmoid(logits)
         final = np.asarray(seg_out[-1] if isinstance(seg_out, (tuple, list))
                            else seg_out)
-        if final.shape[-1] > 1:  # semantic: per-pixel labels via softmax-argmax
-            masks = np.argmax(_softmax(final, axis=-1), axis=-1).astype(np.uint8)
+        if final.shape[-1] > 1:
+            # semantic: per-pixel argmax labels (the reference softmaxes
+            # first, models.py:142 — argmax is invariant under softmax, so
+            # the full-resolution exp/sum/divide is skipped on this hot path)
+            masks = np.argmax(final, axis=-1).astype(np.uint8)
             mask_scale = 255 // max(1, final.shape[-1] - 1)
             if task == "segmentation":
                 # reference pixel vote (models.py:152-158): benign wins ties
@@ -133,9 +136,14 @@ def postprocess_compact(out: dict, task: str, n_classes: int,
         label_counts = np.asarray(label_counts)
         mask_scale = 255 // max(1, label_counts.shape[1] - 1)
         if task == "segmentation":
-            # reference pixel vote (models.py:152-158): benign wins ties
-            pred_class = ["benign" if c[1] >= c[2] else "malignant"
-                          for c in label_counts]
+            # reference pixel vote (models.py:152-158): benign wins ties.
+            # A 2-channel semantic head has no malignant count — the raw
+            # path's (m == 2).sum() degrades to 0 there, so mirror that
+            # instead of indexing past the counts array.
+            def _count(c, lbl):
+                return c[lbl] if lbl < c.shape[0] else 0
+            pred_class = ["benign" if _count(c, 1) >= _count(c, 2)
+                          else "malignant" for c in label_counts]
         nonzero_px = label_counts[:, 1:].sum(axis=1)
     elif masks is not None:
         nonzero_px = np.asarray(out["tumor_pixels"])

@@ -93,7 +93,14 @@ def _build_model(cfg: Config, task: str):
     n_classes = len(cfg.data.classes)
     nw = cfg.model.nnunet_widths
     if task == "segmentation":
+        # data.semantic_segmentation loads (H,W,3) one-hot masks, so the
+        # head must emit 3 channels. The reference exposes `regions` in its
+        # factory but never wires it from config (experiment_init.py:288-291
+        # — its semantic flag only changes the dataset, and torch would
+        # crash on the shape mismatch); here the flag trains end-to-end.
+        regions = 3 if cfg.data.semantic_segmentation else 1
         return init_segmentation_model(cfg.model.architecture, sequences=sequences,
+                                       regions=regions,
                                        width=cfg.model.width,
                                        deep_supervision=cfg.model.deep_supervision,
                                        nnunet_widths=nw)
@@ -141,7 +148,25 @@ def quick_test_dice(engine: Engine, state, test_ds, fill_holes: bool = True,
     if engine.cfg.task == "multitask":
         out = out[-1]  # (cls, seg) or Adityan's (cls, rec, seg): seg is last
     final = out[-1] if isinstance(out, (tuple, list)) else out
-    probs = I._sigmoid(np.asarray(final[..., 0]))
+    final = np.asarray(final)
+    if final.shape[-1] > 1:
+        # semantic head: argmax labels, mean of per-class dices (classes
+        # 1..C-1, background skipped — same convention as
+        # calculate_metrics_multiclass_segmentation)
+        pred = np.argmax(final, axis=-1)
+        dices = []
+        for i in range(len(test_ds)):
+            gt = np.argmax(test_ds.masks[i], axis=-1)
+            per_class = []
+            for c in range(1, final.shape[-1]):
+                g, s = gt == c, pred[i] == c
+                tp = float(np.logical_and(s, g).sum())
+                fp = float(np.logical_and(s, ~g).sum())
+                fn = float(np.logical_and(~s, g).sum())
+                per_class.append(dice_score(tp, fp, fn, g, s))
+            dices.append(np.nanmean(per_class))
+        return float(np.nanmean(dices))
+    probs = I._sigmoid(final[..., 0])
     dices = []
     for i in range(len(test_ds)):
         seg = (probs[i] > 0.5).astype(np.uint8)
@@ -280,8 +305,12 @@ def _fold_inference(task: str, n_classes: int, cfg: Config, engine,
         state = load_pretrained_model(state, ckpt_path)
 
     if task == "segmentation":
-        test_results = I.inference_binary_segmentation(engine, state, fold.test,
-                                                       fold_dir, pad_to=pad_to)
+        if cfg.data.semantic_segmentation:
+            test_results = I.inference_multilabel_segmentation(
+                engine, state, fold.test, fold_dir)
+        else:
+            test_results = I.inference_binary_segmentation(
+                engine, state, fold.test, fold_dir, pad_to=pad_to)
         logging.info("%s", test_results.mean(numeric_only=True))
     elif task == "classification":
         if n_classes <= 2:
@@ -370,6 +399,12 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
     PARITY D9), and the host RNG stream is replayed so the finished run is
     byte-identical to an uninterrupted one (tested)."""
     init_time = time.perf_counter()
+    if cfg.data.semantic_segmentation and task != "segmentation":
+        raise ValueError(
+            "data.semantic_segmentation is only supported for the "
+            "segmentation task: the classification/multitask heads have no "
+            "semantic-mask objective (the reference has no such path either "
+            "— its flag only changes the dataset, BUSI_dataset.py:51)")
     enable_compilation_cache()
 
     if cfg.training.CV < 2:
@@ -573,7 +608,8 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
             min_lr=float(cfg.optimizer.min_lr), patience=int(cfg.optimizer.patience))
 
         train_data = engine.device_data(fold.train, pad_to=max_train_n)
-        val_data = engine.device_data(fold.val) if fold.val is not None else None
+        val_data = (engine.device_data(fold.val, for_training=False)
+                    if fold.val is not None else None)
         step_valid = step_valid_mask(len(fold.train), B, max_steps)
         test_images_dev = None
         if task == "segmentation" and not cfg.training.per_epoch_test_artifacts:
@@ -687,9 +723,13 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
                     # full test inference each epoch, rewriting the seg/feature
                     # PNGs and per-image CSV; metrics.csv Test column is the
                     # same per-image mean Dice either way (PARITY D10)
-                    test_results = I.inference_binary_segmentation(
-                        engine, state, fold.test, f"{run_path}/fold_{n}",
-                        pad_to=max_test_n)
+                    if cfg.data.semantic_segmentation:
+                        test_results = I.inference_multilabel_segmentation(
+                            engine, state, fold.test, f"{run_path}/fold_{n}")
+                    else:
+                        test_results = I.inference_binary_segmentation(
+                            engine, state, fold.test, f"{run_path}/fold_{n}",
+                            pad_to=max_test_n)
                     test_dice = float(test_results["DICE"].mean())
                 else:
                     test_dice = quick_test_dice(engine, state, fold.test,

@@ -282,7 +282,9 @@ def inference_multilabel_segmentation(engine, state, test_ds: ArrayDataset,
     for i in range(len(test_ds)):
         pid = int(test_ds.patient_ids[i])
         label = test_ds.class_names[i]
-        pred = np.argmax(_softmax(final[i], axis=-1), axis=-1)  # (H, W) labels
+        # per-pixel argmax labels; the reference softmaxes first
+        # (models.py:142) — argmax is invariant under softmax
+        pred = np.argmax(final[i], axis=-1)  # (H, W) labels
         gt = np.argmax(test_ds.masks[i], axis=-1)
         pred_pp = postprocess_semantic_segmentation(pred) if postprocessing else pred
 

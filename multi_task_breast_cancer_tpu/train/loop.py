@@ -67,6 +67,18 @@ class EngineConfig:
 def make_cls_targets(labels: np.ndarray, n_classes: int) -> np.ndarray:
     """Reference target encoding: multiclass → one-hot float (``training_
     multitask.py:83-84``); binary → (B,1) float labels."""
+    if np.max(labels, initial=0) >= max(n_classes, 2):
+        # the fixed reference LABEL_MAP (benign=0, malignant=1, normal=2,
+        # BUSI_dataset.py:63-80) is never remapped for filtered class
+        # subsets, so e.g. classes=['benign','normal'] feeds label 2 into a
+        # binary BCE target and drops those rows from the confusion matrix —
+        # fail fast instead of silently mis-training
+        raise ValueError(
+            f"label values up to {int(np.max(labels))} exceed "
+            f"n_classes={n_classes}: the reference label map is fixed "
+            "(benign=0, malignant=1, normal=2) and class subsets are not "
+            "remapped — a 2-class config must use "
+            "classes: [benign, malignant]")
     if n_classes > 2:
         return np.eye(n_classes, dtype=np.float32)[labels]
     return labels.astype(np.float32)[:, None]
@@ -176,6 +188,7 @@ class Engine:
                 self._seg_crit, masks, seg, cfg.inversely_weighted)
             return loss, {"seg_out": seg}
         if cfg.task == "classification":
+            self._check_cls_head(out)
             loss = L.apply_criterion_classification(self._cls_crit, cls_targets, out)
             return loss, {"cls_out": out}
         if isinstance(out, tuple) and len(out) == 3:
@@ -187,12 +200,33 @@ class Engine:
             cls, _, seg = out
         else:
             cls, seg = out
+        self._check_cls_head(cls)
         seg_loss, cls_loss = L.apply_criterion_multitask(
             self._seg_crit, masks, seg, self._cls_crit, cls_targets, cls,
             cfg.inversely_weighted)
         loss = cfg.alpha * seg_loss + (1 - cfg.alpha) * cls_loss
         return loss, {"seg_out": seg, "cls_out": cls, "seg_loss": seg_loss,
                       "cls_loss": cls_loss}
+
+    def _check_cls_head(self, cls_out) -> None:
+        """Trace-time shape check: a classification head whose logit count
+        disagrees with ``n_classes`` would otherwise train silently wrong
+        via broadcasting — e.g. Multi_FSB_BTSUNet hard-codes ONE logit
+        (``Multi_FSB_BTS_UNet.py:152``), so with 3 classes
+        softmax_cross_entropy of a single logit is identically zero and the
+        classifier never trains; Adityan hard-codes THREE. The reference
+        crashes inside torch CrossEntropyLoss for these combinations; this
+        port fails fast here instead (shapes are static, so the raise
+        happens at trace time, never on device)."""
+        head = cls_out[0] if isinstance(cls_out, (tuple, list)) else cls_out
+        expected = self.cfg.n_classes if self.cfg.n_classes > 2 else 1
+        if head.shape[-1] != expected:
+            raise ValueError(
+                f"classification head emits {head.shape[-1]} logits but "
+                f"n_classes={self.cfg.n_classes} needs {expected} (binary "
+                "collapses to 1 logit — reference parity). Architectures "
+                "with hard-coded heads (Multi_FSB_BTSUNet: 1, Adityan: 3) "
+                "only support the matching class count.")
 
     @staticmethod
     def _final_seg_head(seg_out):
@@ -526,8 +560,8 @@ class Engine:
             return jnp.uint8
         return fallback
 
-    def device_data(self, ds: ArrayDataset, pad_to: Optional[int] = None
-                    ) -> Dict[str, Any]:
+    def device_data(self, ds: ArrayDataset, pad_to: Optional[int] = None,
+                    *, for_training: bool = True) -> Dict[str, Any]:
         """Transfer one split to device arrays (once per fold).
 
         Integral image/mask data (the real pipeline: PNG intensities 0..255,
@@ -563,7 +597,10 @@ class Engine:
                 _pad(make_cls_targets(ds.labels, self.cfg.n_classes))),
             "labels_int": jnp.asarray(_pad(ds.labels)),
         }
-        if self.cfg.use_transforms and self.cfg.fast_augmentation:
+        # fast-aug packed planes are only read by the TRAIN epoch — packing
+        # val/test splits (for_training=False) would replicate dead int32
+        # copies of each split to every device
+        if for_training and self.cfg.use_transforms and self.cfg.fast_augmentation:
             from multi_task_breast_cancer_tpu.ops.fast_augment import pack_channels
             # [masks|image(+augment channels)] — any channel count, bf16 or
             # f32 compute, even (possibly non-square) dims; pack_channels

@@ -110,3 +110,32 @@ def test_multitask_prod(busi_root, tmp_path):
                                    "Train_acc", "Train_F1"]
         # prod saves a checkpoint every epoch (no .tar for multitask)
         assert list((run / f"fold_{n}").glob("model_*_fold_*"))
+
+
+def test_semantic_segmentation_cv(busi_root, tmp_path):
+    """Config-driven semantic segmentation trains end-to-end: the flag wires
+    a 3-channel head (regions=3) and routes the testing phase to the
+    multilabel inference. The reference exposes `regions` in its factory but
+    never wires it from config (experiment_init.py:288-291), so its semantic
+    flag only changes the dataset and torch crashes on the shape mismatch —
+    here it is a working path."""
+    cfg = _cfg(busi_root, "BTSUNet", ds=False, epochs=1)
+    cfg.data.semantic_segmentation = True
+    run_path = run_experiment(cfg, task="segmentation", mode="CV",
+                              run_root=str(tmp_path / "runs"))
+    run = Path(run_path)
+    for n in (0, 1):
+        m = pd.read_csv(run / f"fold_{n}" / "metrics.csv")
+        assert len(m) == 1 and m["Test"].notna().all()
+        # multilabel inference writes results.csv (reference models.py:178)
+        res = pd.read_csv(run / f"fold_{n}" / "results.csv")
+        assert "predicted_class" in res.columns
+        assert any((run / f"fold_{n}" / "segs").iterdir())
+
+
+def test_semantic_segmentation_rejected_for_multitask(busi_root, tmp_path):
+    cfg = _cfg(busi_root, "Multi_BTSUNet")
+    cfg.data.semantic_segmentation = True
+    with pytest.raises(ValueError, match="only supported for the"):
+        run_experiment(cfg, task="multitask", mode="CV",
+                       run_root=str(tmp_path / "runs"))

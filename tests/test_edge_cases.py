@@ -88,3 +88,95 @@ def test_nnunet_widths_wrong_length_fails_fast():
     from multi_task_breast_cancer_tpu.models import init_multitask_model
     with pytest.raises(ValueError, match="5 level widths"):
         init_multitask_model("MTnnUNet", nnunet_widths=[4, 8, 12])
+
+
+def test_make_cls_targets_rejects_unmapped_labels():
+    """The fixed reference label map (benign=0, malignant=1, normal=2) is
+    never remapped for class subsets: a 2-class config containing 'normal'
+    would feed target 2.0 into binary BCE and silently drop those rows from
+    the confusion matrix — fail fast instead."""
+    import numpy as np
+    import pytest
+
+    from multi_task_breast_cancer_tpu.train.loop import make_cls_targets
+
+    with pytest.raises(ValueError, match="benign, malignant"):
+        make_cls_targets(np.array([0, 2, 0]), n_classes=2)
+    # the valid binary encoding is unchanged
+    t = make_cls_targets(np.array([0, 1, 1]), n_classes=2)
+    assert t.shape == (3, 1)
+
+
+def test_hardcoded_cls_head_mismatch_fails_fast():
+    """Multi_FSB_BTSUNet hard-codes ONE cls logit (Multi_FSB_BTS_UNet.py:152):
+    with 3 classes, softmax-CE over a single logit is identically zero and
+    the classifier would silently never train (the reference crashes inside
+    torch F.cross_entropy). The Engine must reject the combination at trace
+    time."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from multi_task_breast_cancer_tpu.data.dataset import ArrayDataset
+    from multi_task_breast_cancer_tpu.models import init_multitask_model
+    from multi_task_breast_cancer_tpu.train.loop import (
+        Engine, EngineConfig, plan_epoch_indices)
+    from multi_task_breast_cancer_tpu.train.optim import init_optimizer
+    from multi_task_breast_cancer_tpu.train.state import create_train_state
+
+    rng = np.random.default_rng(0)
+    n, H = 4, 32
+    ds = ArrayDataset(images=(rng.random((n, H, H, 1)) * 255).astype(np.float32),
+                      masks=(rng.random((n, H, H, 1)) > 0.7).astype(np.float32),
+                      labels=rng.integers(0, 3, n).astype(np.int32),
+                      patient_ids=np.arange(n), class_names=["benign"] * n,
+                      tumor_pixels=np.zeros(n, np.int64))
+    model = init_multitask_model("Multi_FSB_BTSUNet", width=4)
+    tx = init_optimizer("Adam", 1e-3)
+    engine = Engine(model, tx, EngineConfig(task="multitask", n_classes=3,
+                                            batch_size=2, use_transforms=False))
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, H, H, 1)))
+    data = engine.device_data(ds)
+    perm = plan_epoch_indices(n, 2, np.random.default_rng(1))
+    with pytest.raises(ValueError, match="hard-coded heads"):
+        engine.train_epoch(state, data, perm, jax.random.PRNGKey(1))
+
+
+def test_factory_defaults_no_spurious_warnings(caplog):
+    """Direct factory calls with pure defaults must not log 'knob ignored'
+    warnings — only an explicit caller-passed value can be 'ignored'."""
+    import logging
+
+    from multi_task_breast_cancer_tpu.models import (
+        init_multitask_model, init_segmentation_model)
+
+    with caplog.at_level(logging.WARNING):
+        init_multitask_model("MTnnUNet")
+        init_segmentation_model("nnUNet")
+    assert not [r for r in caplog.records if "ignored" in r.message]
+
+
+def test_device_data_skips_aug_packing_for_eval_splits():
+    import jax
+    import numpy as np
+
+    from multi_task_breast_cancer_tpu.data.dataset import ArrayDataset
+    from multi_task_breast_cancer_tpu.models import init_segmentation_model
+    from multi_task_breast_cancer_tpu.train.loop import Engine, EngineConfig
+    from multi_task_breast_cancer_tpu.train.optim import init_optimizer
+
+    rng = np.random.default_rng(0)
+    n, H = 4, 32
+    ds = ArrayDataset(images=(rng.random((n, H, H, 1)) * 255).astype(np.float32),
+                      masks=(rng.random((n, H, H, 1)) > 0.7).astype(np.float32),
+                      labels=rng.integers(0, 3, n).astype(np.int32),
+                      patient_ids=np.arange(n), class_names=["benign"] * n,
+                      tumor_pixels=np.zeros(n, np.int64))
+    engine = Engine(init_segmentation_model("BTSUNet", width=4),
+                    init_optimizer("Adam", 1e-3),
+                    EngineConfig(task="segmentation", batch_size=2,
+                                 fast_augmentation=True))
+    assert "aug_packed" in engine.device_data(ds)
+    assert "aug_packed" not in engine.device_data(ds, for_training=False)

@@ -22,24 +22,34 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 
-def rotate_nearest(img: Array, angle_deg: Array) -> Array:
-    """Rotate (H, W, C) by ``angle_deg`` about the image centre, nearest
-    interpolation, zero fill — torchvision ``rotate`` semantics (its default
-    InterpolationMode.NEAREST, expand=False)."""
-    h, w = img.shape[0], img.shape[1]
+def _inverse_rotation_coords(angle_deg: Array, h: int, w: int
+                             ) -> Tuple[Array, Array]:
+    """Float source coordinates of the inverse rotation about the image
+    centre (torchvision convention): out(p) = img(R⁻¹p)."""
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     theta = angle_deg * (jnp.pi / 180.0)
     cos, sin = jnp.cos(theta), jnp.sin(theta)
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - cy
     xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - cx
-    # inverse mapping: output pixel ← source coordinate
-    ys = cos * yy + sin * xx + cy
-    xs = -sin * yy + cos * xx + cx
+    return cos * yy + sin * xx + cy, -sin * yy + cos * xx + cx
+
+
+def _round_clip_coords(ys: Array, xs: Array, h: int, w: int
+                       ) -> Tuple[Array, Array, Array]:
+    """Nearest-neighbour rounding + bounds: (y_clipped, x_clipped, valid)."""
     yr = jnp.round(ys).astype(jnp.int32)
     xr = jnp.round(xs).astype(jnp.int32)
     valid = (yr >= 0) & (yr < h) & (xr >= 0) & (xr < w)
-    yc = jnp.clip(yr, 0, h - 1)
-    xc = jnp.clip(xr, 0, w - 1)
+    return jnp.clip(yr, 0, h - 1), jnp.clip(xr, 0, w - 1), valid
+
+
+def rotate_nearest(img: Array, angle_deg: Array) -> Array:
+    """Rotate (H, W, C) by ``angle_deg`` about the image centre, nearest
+    interpolation, zero fill — torchvision ``rotate`` semantics (its default
+    InterpolationMode.NEAREST, expand=False)."""
+    h, w = img.shape[0], img.shape[1]
+    ys, xs = _inverse_rotation_coords(angle_deg, h, w)
+    yc, xc, valid = _round_clip_coords(ys, xs, h, w)
     out = img[yc, xc, :]
     return jnp.where(valid[..., None], out, jnp.zeros_like(out))
 
@@ -62,22 +72,13 @@ def _joint_coords(key: jax.Array, h: int, w: int, *, p_hflip: float,
         angle = jnp.zeros(())
 
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    theta = angle * (jnp.pi / 180.0)
-    cos, sin = jnp.cos(theta), jnp.sin(theta)
-    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - cy
-    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - cx
-    ys = cos * yy + sin * xx + cy
-    xs = -sin * yy + cos * xx + cx
+    ys, xs = _inverse_rotation_coords(angle, h, w)
     # flip about the centre in source space: q' = s·q + (1-s)·(S-1)/2
     sy = jnp.where(flip_v, -1.0, 1.0)
     sx = jnp.where(flip_h, -1.0, 1.0)
     ys = sy * ys + (1.0 - sy) * cy
     xs = sx * xs + (1.0 - sx) * cx
-    yr = jnp.round(ys).astype(jnp.int32)
-    xr = jnp.round(xs).astype(jnp.int32)
-    valid = (yr >= 0) & (yr < h) & (xr >= 0) & (xr < w)
-    yc = jnp.clip(yr, 0, h - 1)
-    xc = jnp.clip(xr, 0, w - 1)
+    yc, xc, valid = _round_clip_coords(ys, xs, h, w)
     return (yc * w + xc).reshape(h * w), valid
 
 

@@ -121,6 +121,25 @@ def _hard_image(rng: np.random.Generator, size: int, cls: str,
     return img.clip(0, 255).astype(np.uint8), mask
 
 
+
+def _mapping_row(img_path, mask_path, cls: str, i: int, size: int,
+                 mask) -> dict:
+    """One mapping.csv row with the preprocessing bbox convention
+    (max-EXCLUSIVE bounds, zeros for empty masks) — the same stats
+    ``native.mask_stats`` / ``data.preprocessing`` produce for real data."""
+    ys, xs = np.nonzero(mask)
+    return {
+        "img_path": str(img_path), "mask_path": str(mask_path),
+        "class": cls, "id": i, "dim1": size, "dim2": size,
+        "tumor_pixels": int((mask == 255).sum()),
+        "y_max": int(ys.max() + 1) if len(ys) else 0,
+        "y_min": int(ys.min()) if len(ys) else 0,
+        "x_max": int(xs.max() + 1) if len(xs) else 0,
+        "x_min": int(xs.min()) if len(xs) else 0,
+        "y_size": int(ys.max() + 1 - ys.min()) if len(ys) else 0,
+        "x_size": int(xs.max() + 1 - xs.min()) if len(xs) else 0,
+    }
+
 def make_hard_busi(root: str | Path, size: int = 128, seed: int = 0,
                    class_counts: Dict[str, int] | None = None,
                    difficulty: float = 1.0) -> Path:
@@ -142,18 +161,7 @@ def make_hard_busi(root: str | Path, size: int = 128, seed: int = 0,
             mask_path = root / "masks" / f"{cls}_id_{i}_mask.png"
             cv2.imwrite(str(img_path), img)
             cv2.imwrite(str(mask_path), mask)
-            ys, xs = np.nonzero(mask)
-            rows.append({
-                "img_path": str(img_path), "mask_path": str(mask_path),
-                "class": cls, "id": i, "dim1": size, "dim2": size,
-                "tumor_pixels": int((mask == 255).sum()),
-                "y_max": int(ys.max() + 1) if len(ys) else 0,
-                "y_min": int(ys.min()) if len(ys) else 0,
-                "x_max": int(xs.max() + 1) if len(xs) else 0,
-                "x_min": int(xs.min()) if len(xs) else 0,
-                "y_size": int(ys.max() + 1 - ys.min()) if len(ys) else 0,
-                "x_size": int(xs.max() + 1 - xs.min()) if len(xs) else 0,
-            })
+            rows.append(_mapping_row(img_path, mask_path, cls, i, size, mask))
     pd.DataFrame(rows).to_csv(root / "mapping.csv", index=False)
     return root
 
@@ -208,17 +216,6 @@ def make_preprocessed_busi(root: str | Path, n_per_class: int = 8, size: int = 1
             mask_path = root / "masks" / f"{cls}_id_{i}_mask.png"
             cv2.imwrite(str(img_path), img)
             cv2.imwrite(str(mask_path), mask)
-            ys, xs = np.nonzero(mask)
-            rows.append({
-                "img_path": str(img_path), "mask_path": str(mask_path),
-                "class": cls, "id": i, "dim1": size, "dim2": size,
-                "tumor_pixels": int((mask == 255).sum()),
-                "y_max": int(ys.max() + 1) if len(ys) else 0,
-                "y_min": int(ys.min()) if len(ys) else 0,
-                "x_max": int(xs.max() + 1) if len(xs) else 0,
-                "x_min": int(xs.min()) if len(xs) else 0,
-                "y_size": int(ys.max() + 1 - ys.min()) if len(ys) else 0,
-                "x_size": int(xs.max() + 1 - xs.min()) if len(xs) else 0,
-            })
+            rows.append(_mapping_row(img_path, mask_path, cls, i, size, mask))
     pd.DataFrame(rows).to_csv(root / "mapping.csv", index=False)
     return root

@@ -68,9 +68,15 @@ def nearest_resize(src: np.ndarray, dh: int, dw: int) -> np.ndarray:
     src = np.ascontiguousarray(src, np.uint8)
     lib = _load()
     if lib is None:
+        # bit-identical to the C kernel (and cv2): index = int(y * (sh/dh))
+        # with the scale computed FIRST as a double — (y*sh)/dh rounds
+        # differently for non-power-of-2 sizes and would make preprocessed
+        # images depend on whether the native lib is present
         sh, sw = src.shape
-        ys = np.minimum((np.arange(dh) * sh / dh).astype(np.int64), sh - 1)
-        xs = np.minimum((np.arange(dw) * sw / dw).astype(np.int64), sw - 1)
+        ys = np.minimum((np.arange(dh, dtype=np.float64) * (sh / dh))
+                        .astype(np.int64), sh - 1)
+        xs = np.minimum((np.arange(dw, dtype=np.float64) * (sw / dw))
+                        .astype(np.int64), sw - 1)
         return src[np.ix_(ys, xs)]
     dst = np.empty((dh, dw), np.uint8)
     lib.nearest_resize_u8(_u8(src), src.shape[0], src.shape[1], _u8(dst), dh, dw)
@@ -137,8 +143,12 @@ def u8_to_f32(src: np.ndarray, normalize: bool = False) -> np.ndarray:
     if lib is None:
         out = src.astype(np.float32)
         if normalize:
-            lo, hi = out.min(), out.max()
-            out = (out - lo) / max(hi - lo, 1e-12)
+            # mirror the C kernel bit-for-bit: float32 reciprocal-multiply
+            # (scale computed once), zero when the image is constant
+            lo, hi = int(src.min()), int(src.max())
+            scale = np.float32(1.0) / np.float32(hi - lo) if hi > lo \
+                else np.float32(0.0)
+            out = (out - np.float32(lo)) * scale
         return out
     dst = np.empty(src.shape, np.float32)
     lib.u8_to_f32(_u8(src), dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -53,7 +53,10 @@ def _cell(row: int, col: int, value) -> str:
     ref = f"{_col_letter(col)}{row + 1}"
     if isinstance(value, (int, float, np.integer, np.floating)) and not isinstance(value, bool):
         if isinstance(value, (float, np.floating)) and not np.isfinite(value):
-            return f'<c r="{ref}" t="inlineStr"><is><t>{value}</t></is></c>'
+            # pandas.to_excel (the reference artifact writer) leaves NaN as
+            # an EMPTY cell — a literal 'nan' string would flip the column
+            # dtype to object for any consumer reading the sheet back
+            return f'<c r="{ref}"/>'
         return f'<c r="{ref}"><v>{value}</v></c>'
     return f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(value))}</t></is></c>'
 

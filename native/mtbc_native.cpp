@@ -80,7 +80,6 @@ void mask_stats(const uint8_t* mask, int h, int w, int64_t* out7) {
     }
     if (count == 0) {
         for (int i = 0; i < 7; ++i) out7[i] = 0;
-        out7[0] = 0;
         return;
     }
     out7[0] = count;

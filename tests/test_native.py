@@ -2,6 +2,7 @@
 the resize and the numpy-parity of every op (fallback path covered too)."""
 
 import numpy as np
+import pytest
 from multi_task_breast_cancer_tpu import native
 
 
@@ -51,3 +52,40 @@ def test_u8_to_f32():
     np.testing.assert_allclose(native.u8_to_f32(src), src.astype(np.float32))
     norm = native.u8_to_f32(src, normalize=True)
     assert norm.min() == 0.0 and norm.max() == 1.0
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_fallback_bit_identical_to_native():
+    """The pure-numpy fallbacks must be BIT-identical to the C kernels —
+    otherwise preprocessed/served images would depend on whether g++ was
+    present on the host (the resize index formula and the normalize
+    reciprocal-multiply both round differently if written naively)."""
+    rng = np.random.default_rng(0)
+
+    def force_fallback(fn, *args, **kw):
+        lib = native._lib
+        native._lib = None
+        orig_load = native._load
+        native._load = lambda: None
+        try:
+            return fn(*args, **kw)
+        finally:
+            native._lib = lib
+            native._load = orig_load
+
+    # resize: every awkward non-power-of-2 pair that distinguishes
+    # (y*sh)/dh from y*(sh/dh) rounding
+    for sh, dh in [(2, 98), (3, 7), (97, 13), (128, 100), (5, 200),
+                   (211, 64), (64, 211)]:
+        src = rng.integers(0, 256, (sh, max(sh, 2)), dtype=np.uint8)
+        a = native.nearest_resize(src, dh, dh)
+        b = force_fallback(native.nearest_resize, src, dh, dh)
+        np.testing.assert_array_equal(a, b, err_msg=f"resize {sh}->{dh}")
+
+    # u8->f32 normalize: reciprocal-multiply rounding
+    for lo, hi in [(0, 255), (3, 200), (17, 18), (100, 101), (5, 5)]:
+        src = rng.integers(lo, hi + 1, (64, 64), dtype=np.uint8)
+        src.flat[0], src.flat[1] = lo, hi  # pin the range
+        a = native.u8_to_f32(src, normalize=True)
+        b = force_fallback(native.u8_to_f32, src, normalize=True)
+        np.testing.assert_array_equal(a, b, err_msg=f"normalize {lo}-{hi}")

@@ -786,3 +786,47 @@ def test_microbatcher_close_fails_pending_requests():
         assert p.error == "server shutting down"
     with pytest.raises(RuntimeError, match="shutting down"):
         raise RuntimeError(queued.error)
+
+
+def test_compact_semantic_two_channel_vote_no_crash():
+    """A 2-channel semantic head has no 'malignant' count — the compact vote
+    must degrade exactly like the raw path's (m == 2).sum() == 0 (benign),
+    not IndexError past the counts array."""
+    from multi_task_breast_cancer_tpu.serve.export import _compact_outputs
+    from multi_task_breast_cancer_tpu.serve.post import postprocess_compact
+
+    rng = np.random.default_rng(21)
+    final = rng.normal(size=(3, 8, 8, 2)).astype(np.float32)
+    compact = jax.jit(lambda o: _compact_outputs(o, "segmentation", 3, False))(
+        jnp.asarray(final))
+    want = postprocess(final, "segmentation", 3, False)
+    got = postprocess_compact(
+        jax.tree_util.tree_map(np.asarray, compact), "segmentation", 3, False)
+    np.testing.assert_array_equal(got.masks, want.masks)
+    assert got.pred_class == want.pred_class
+    assert got.mask_scale == want.mask_scale == 255
+
+
+def test_semantic_model_export_round_trip(tmp_path):
+    """Config-driven semantic segmentation (regions=3 head) exports and
+    serves: the artifact's decoded label masks and pixel-vote classes match
+    the live model's postprocess."""
+    from multi_task_breast_cancer_tpu.config import DataConfig
+    cfg = _cfg("BTSUNet")
+    cfg.data = DataConfig(input_img="unused", batch_size=2,
+                          classes=["benign", "malignant", "normal"],
+                          semantic_segmentation=True)
+    ckpt, model, tx, state = _checkpoint(cfg, "segmentation", tmp_path)
+    art = export_inference(cfg, "segmentation", ckpt, tmp_path / "sem_art",
+                           buckets=(1, 4), size=SIZE, platforms=("cpu",))
+    m = load_exported(art, data_parallel=False)
+    rng = np.random.default_rng(3)
+    images = (rng.random((3, SIZE, SIZE, 1)) * 255).astype(np.float32)
+    out = m.predict(images)
+    final = out[-1] if isinstance(out, (tuple, list)) else out
+    assert np.asarray(final).shape[-1] == 3  # 3-channel semantic head
+
+    pb = postprocess(np.asarray(final), "segmentation", 3, False)
+    assert pb.masks.shape == (3, SIZE, SIZE)
+    assert set(np.unique(pb.masks)) <= {0, 1, 2}
+    assert all(c in ("benign", "malignant") for c in pb.pred_class)

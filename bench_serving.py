@@ -141,7 +141,11 @@ def main() -> None:
     assert ok
     png_bytes = png.tobytes()
 
-    backend = ArtifactBackend(str(art))
+    # Online arms serve the device-postprocessed artifact — the deployable
+    # configuration: the compact outputs (uint8 mask + probs + counts) are
+    # ~16x smaller on the device->host link than the raw f32 DS heads, and
+    # on a tunnel-attached TPU that transfer dominates online latency.
+    backend = ArtifactBackend(str(art_dev))
     with InferenceServer(backend, max_batch=BUCKET, batch_wait_ms=3.0) as srv:
         base = f"http://127.0.0.1:{srv.port}"
 
@@ -207,6 +211,7 @@ def main() -> None:
         "offline_device_postprocess_imgs_s": round(offline_dev, 1),
         "transfer_bytes_per_img_raw": bytes_raw // BUCKET,
         "transfer_bytes_per_img_device_postprocess": bytes_dev // BUCKET,
+        "online_artifact": "device_postprocess",
         "online_p50_ms": round(p50, 2),
         "online_p95_ms": round(p95, 2),
         "concurrent_clients": CLIENTS,

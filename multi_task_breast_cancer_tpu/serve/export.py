@@ -47,6 +47,10 @@ WEIGHTS = "weights.npz"
 _SEP = "/"
 
 
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, n - 1).bit_length() if n > 1 else 1
+
+
 def _flatten_variables(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
     flat, _ = jax.tree_util.tree_flatten_with_path(variables)
     out = {}
@@ -197,6 +201,16 @@ class ExportedModel:
     oversized batches — every device execution reuses a pre-compiled
     program.
 
+    **Transfer minimisation** (the tunnel/PCIe link, not the forward, is
+    the artifact path's bottleneck): the padding rows never cross the
+    host↔device link. Inputs are host-padded only to the next power of two
+    and device-padded the rest of the way to the bucket; outputs are
+    device-sliced back to the next power of two before the host fetch.
+    Power-of-two snapping bounds the auxiliary pad/slice programs to
+    ≤log2(bucket) shapes per bucket while capping the transferred overhead
+    at 2× the live rows (vs bucket/n — 8.5× for a 30-image micro-batch in
+    a 256 bucket).
+
     **Data parallelism** (``data_parallel=True``, the default): batches
     larger than the smallest bucket are sharded across ALL local devices —
     each device holds its own committed copy of the weights (materialised
@@ -250,18 +264,34 @@ class ExportedModel:
         return self._var_copies[device]
 
     def _dispatch(self, images: np.ndarray, bucket: int, device=None):
-        """Issue one bucket execution (async); returns (device outputs, n)."""
+        """Issue one bucket execution (async); returns (device outputs, n).
+
+        Host-pads only to the next power of two and pads the remaining rows
+        on the device (broadcast of the last row) so the host→device upload
+        moves O(next_pow2(n)) rows, not the full bucket."""
         n = images.shape[0]
-        if n < bucket:
-            pad = np.repeat(images[-1:], bucket - n, axis=0)
-            images = np.concatenate([images, pad], axis=0)
         device = device or self._devices[0]
+        p = min(bucket, _next_pow2(n))
+        if n < p:
+            pad = np.repeat(images[-1:], p - n, axis=0)
+            images = np.concatenate([images, pad], axis=0)
         x = jax.device_put(images.astype(np.float32), device)
+        if p < bucket:
+            x = jnp.concatenate(
+                [x, jnp.broadcast_to(x[-1:], (bucket - p,) + x.shape[1:])])
         return self._fn(bucket)(self._vars_on(device), x), n
 
     @staticmethod
     def _fetch(dispatched):
-        outs = [jax.tree_util.tree_map(lambda a, m=n: np.asarray(a)[:m], out)
+        def _leaf(a, m):
+            # device-side slice to the next power of two before the host
+            # fetch: padded rows beyond it never ride the tunnel/PCIe link
+            p = _next_pow2(m)
+            if p < a.shape[0]:
+                a = a[:p]
+            return np.asarray(a)[:m]
+
+        outs = [jax.tree_util.tree_map(lambda a, m=n: _leaf(a, m), out)
                 for out, n in dispatched]
         if len(outs) == 1:
             return outs[0]

@@ -128,7 +128,13 @@ def joint_transform_batch(images: Array, masks: Array, key: jax.Array, *,
                           enable_rotation: bool = True) -> Tuple[Array, Array]:
     """Batched joint transform: images (B,H,W,C_img), masks (B,H,W,C_mask).
 
-    Returns transformed (images, masks) with identical per-sample geometry."""
+    Returns transformed (images, masks) with identical per-sample geometry.
+
+    Standalone convenience wrapper (tests / external callers). The training
+    engine does NOT call it: the jitted epoch inlines the same
+    concat → split-keys → ``joint_transform_stack_batch`` → split sequence
+    (``train/loop.py``) so the transform traces into the epoch program —
+    keep the packing conventions in sync if either side changes."""
     n_mask = masks.shape[-1]
     stack = jnp.concatenate([masks, images], axis=-1)
     keys = jax.random.split(key, stack.shape[0])

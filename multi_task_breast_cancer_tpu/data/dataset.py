@@ -48,9 +48,9 @@ class ArrayDataset:
         return int(self.images.shape[-1])
 
 
-def _imread(path: str, color: bool = False) -> np.ndarray:
+def _imread(path: str) -> np.ndarray:
     import cv2
-    img = cv2.imread(path, 1 if color else 0)
+    img = cv2.imread(path, 0)
     if img is None:
         raise FileNotFoundError(path)
     return img
@@ -67,8 +67,23 @@ def build_array_dataset(mapping: pd.DataFrame,
     label_map = LABEL_MAP_SEMANTIC if semantic_segmentation else LABEL_MAP
     for _, row in mapping.iterrows():
         img_u8 = _imread(row["img_path"])
+        cls = row["class"]
+        if cls not in label_map:
+            raise ValueError(f"Unknown class: {cls}")
         if semantic_segmentation:
-            mask = _imread(row["mask_path"], color=True).astype(np.float32)
+            # Class-conditional one-hot (H, W, 3): channel ``label_map[cls]``
+            # is the binary tumor mask, channel 0 (normal/background) its
+            # complement. This is the encoding the reference's own inference
+            # requires — it argmaxes the mask channels (``models.py:145``) —
+            # but never constructs: ``BUSI_dataset.py:52`` color-reads the
+            # grayscale mask PNG into 3 *identical* 0/255 channels, and its
+            # factory never wires ``regions`` from config anyway
+            # (``experiment_init.py:288-291``), so the reference's semantic
+            # path is unreachable end-to-end. We build the evidently intended
+            # target so ``data.semantic_segmentation: true`` actually trains.
+            bin_mask = _imread(row["mask_path"]).astype(np.int64)
+            bin_mask[bin_mask == 255] = 1
+            mask = np.eye(3, dtype=np.float32)[bin_mask * label_map[cls]]
         else:
             mask = _imread(row["mask_path"]).astype(np.float32)
             mask[mask == 255] = 1
@@ -76,15 +91,17 @@ def build_array_dataset(mapping: pd.DataFrame,
 
         img = img_u8.astype(np.float32)[..., None]
         if normalization is not None:
+            # Unreachable through config by design: the reference hard-codes
+            # ``normalization=None`` in every ``load_datasets`` branch
+            # (``BUSI_dataloader.py:352,366,375``) and loader.py mirrors that.
+            # Like the reference (``BUSI_dataset.py:107-108``), scaling applies
+            # to the base channel only — augment channels stay 0..255.
             lo, hi = img.min(), img.max()
             img = (img - lo) / max(hi - lo, 1e-12)
         if any(augmentations.values()) and not semantic_segmentation:
             aug = build_augment_channels(img_u8, augmentations)
             img = np.concatenate([img, aug], axis=-1)
 
-        cls = row["class"]
-        if cls not in label_map:
-            raise ValueError(f"Unknown class: {cls}")
         images.append(img)
         masks.append(mask)
         labels.append(label_map[cls])

@@ -21,7 +21,10 @@ def main() -> None:
     parser.add_argument("--seed", type=int, default=1993)
     parser.add_argument("--folds", type=int, default=4)
     parser.add_argument("--mode", default="CV", choices=["CV", "CV_PROD", "holdout"])
-    parser.add_argument("--oversampling", action="store_true")
+    # Default matches the pipeline's DataConfig.oversampling=True (reference
+    # config.yaml:42) so the printout agrees with an actual training run.
+    parser.add_argument("--no-oversampling", dest="oversampling",
+                        action="store_false", default=True)
     args = parser.parse_args()
 
     mapping = pd.read_csv(args.mapping)

@@ -79,7 +79,7 @@ def load_datasets(config_training: TrainingConfig, config_data: DataConfig,
             test=build_array_dataset(fold["test"], aug, None, semantic),
         ))
         logging.info("Fold %d sizes: train=%d%s test=%d", n, len(out[-1].train),
-                     f" val={len(out[-1].val)}" if out[-1].val else "",
+                     f" val={len(out[-1].val)}" if out[-1].val is not None else "",
                      len(out[-1].test))
     return out
 

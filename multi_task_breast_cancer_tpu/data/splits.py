@@ -108,7 +108,14 @@ def deterministic_oversampling(mapping_df: pd.DataFrame) -> pd.DataFrame:
 
 
 def oversampling_busi(mapping_df: pd.DataFrame, seed: int) -> pd.DataFrame:
-    """Legacy random oversampling to benign-class size (``BUSI_dataloader.py:306-317``)."""
+    """Legacy random oversampling to benign-class size (``BUSI_dataloader.py:306-317``).
+
+    Kept latent-API-only, exactly like the reference (no dispatcher calls it;
+    ``deterministic_oversampling`` is the live path). Its quirks are preserved
+    verbatim for parity: with ``n_malignant > n_benign`` the negative sample
+    size raises, and the malignant branch omits ``replace=True`` (reference
+    ``:311``) so a deficit larger than the malignant population also raises.
+    """
     n_ben = len(mapping_df[mapping_df["class"] == "benign"])
     if "malignant" in set(mapping_df["class"]):
         n_mal = len(mapping_df[mapping_df["class"] == "malignant"])

@@ -184,6 +184,29 @@ class TestArrayDataset:
             assert lbl == {"benign": 1, "normal": 0, "malignant": 2}[cls]
         assert ds.masks.shape[-1] == 3
 
+    def test_semantic_masks_are_class_conditional_one_hot(self, preprocessed):
+        """Semantic masks must be the one-hot the inference argmax consumes
+        (reference models.py:145), not the reference's degenerate 3-identical
+        0/255 color read (BUSI_dataset.py:52)."""
+        import cv2
+        mapping = pd.read_csv(preprocessed / "mapping.csv")
+        ds = build_array_dataset(mapping, semantic_segmentation=True)
+        assert set(np.unique(ds.masks)) <= {0.0, 1.0}
+        # exactly one channel set per pixel
+        np.testing.assert_array_equal(ds.masks.sum(-1), 1.0)
+        for i, (lbl, cls) in enumerate(zip(ds.labels, ds.class_names)):
+            row = mapping.iloc[i]
+            raw = cv2.imread(row["mask_path"], 0)
+            binary = (raw > 0).astype(np.float32)
+            if cls == "normal":  # label 0: everything background
+                np.testing.assert_array_equal(ds.masks[i, ..., 0], 1.0)
+            else:
+                np.testing.assert_array_equal(ds.masks[i, ..., lbl], binary)
+                np.testing.assert_array_equal(ds.masks[i, ..., 0], 1 - binary)
+            # argmax recovers the per-pixel class labels
+            np.testing.assert_array_equal(
+                np.argmax(ds.masks[i], -1), binary * lbl)
+
     def test_loader_cv_modes(self, preprocessed):
         tc = TrainingConfig(CV=2, seed=1993)
         dc = DataConfig(input_img=str(preprocessed), oversampling=True)

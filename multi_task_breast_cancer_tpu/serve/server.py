@@ -146,6 +146,9 @@ class _Pending:
     event: threading.Event = field(default_factory=threading.Event)
     results: Optional[list] = None     # K records
     error: Optional[str] = None
+    # set by the submitter on timeout: nobody will read the result, so the
+    # batcher sheds the work instead of amplifying an overload
+    abandoned: threading.Event = field(default_factory=threading.Event)
 
     @property
     def k(self) -> int:
@@ -176,9 +179,12 @@ class MicroBatcher:
         return self.submit_many(image[None], timeout_s)[0]
 
     def submit_many(self, images: np.ndarray, timeout_s: float = 120.0) -> list:
+        if self._stop.is_set():
+            raise RuntimeError("server shutting down")
         p = _Pending(images=images)
         self._queue.put(p)
         if not p.event.wait(timeout_s):
+            p.abandoned.set()  # shed: the batcher will drop it if not started
             raise TimeoutError("inference timed out")
         if p.error is not None:
             raise RuntimeError(p.error)
@@ -187,9 +193,20 @@ class MicroBatcher:
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5)
-        # Fail still-pending work (queued or carried between batches) so
-        # clients get an immediate error instead of waiting out their
-        # submit timeout. The loop thread has exited — no race on _carry.
+        if self._thread.is_alive():
+            # Batcher is stuck inside a long device call (e.g. a first-batch
+            # compile). Touching _carry/_queue now would race it; the loop
+            # fails all leftovers itself on exit.
+            logging.warning("batcher thread still busy at close; pending "
+                            "requests will be failed when it exits")
+            return
+        self._fail_leftovers()
+
+    def _fail_leftovers(self):
+        """Fail still-pending work (queued or carried between batches) so
+        clients get an immediate error instead of waiting out their submit
+        timeout. Called from the loop thread on exit and (idempotently) from
+        ``close()`` once that thread is known dead — never concurrently."""
         leftovers = [] if self._carry is None else [self._carry]
         self._carry = None
         while True:
@@ -209,6 +226,9 @@ class MicroBatcher:
                 first = self._queue.get(timeout=0.1)
             except queue.Empty:
                 return []
+        if first.abandoned.is_set():
+            self.stats["shed_requests"] += 1
+            return []  # next loop iteration collects afresh
         # A single request larger than max_batch runs alone (backends chunk
         # internally); coalescing never pushes the flattened total past
         # max_batch — an over-budget request is carried to the next batch.
@@ -223,6 +243,9 @@ class MicroBatcher:
                 nxt = self._queue.get(timeout=remaining)
             except queue.Empty:
                 break
+            if nxt.abandoned.is_set():
+                self.stats["shed_requests"] += 1
+                continue
             if total + nxt.k > self._max_batch:
                 self._carry = nxt
                 break

@@ -32,11 +32,14 @@ from pathlib import Path
 import numpy as np
 import pandas as pd
 
-# MTBC_ABLATION_PROTOCOL=reference reruns the MT rows under the reference's
-# OWN training regime (``config.yaml:24-36``: epochs 200, batch 2, early-stop
-# patience 50) instead of the harness protocol below; single-task rows are
-# skipped there (the reference-protocol question is about the MT±PR±DO
-# orderings). Output then goes to MTBC_ABLATION_OUT (default ABLATION_r04.json).
+# MTBC_ABLATION_PROTOCOL=reference runs the grid under the reference's OWN
+# training regime (``config.yaml:24-36``: epochs 200, batch 2, early-stop
+# patience 50) instead of the harness protocol below — all 10 table-5 rows
+# (MT±PR±DO + the 6 single-task rows). Output then goes to MTBC_ABLATION_OUT
+# (default ABLATION_r05.json). MTBC_ABLATION_REUSE=<artifact.json> copies
+# already-trained variants from a previous artifact at the SAME protocol +
+# generator fingerprint instead of re-training them (provenance recorded
+# per variant) — e.g. reuse ABLATION_r04.json's reference-protocol MT rows.
 PROTOCOL = os.environ.get("MTBC_ABLATION_PROTOCOL", "harness")
 EPOCHS = 200 if PROTOCOL == "reference" else 80
 CV = 4
@@ -47,7 +50,30 @@ SEED = 1993
 DIFFICULTY = 1.4  # calibrated so MT lands in the reference's regime
 OUT_PATH = os.environ.get(
     "MTBC_ABLATION_OUT",
-    "ABLATION_r04.json" if PROTOCOL == "reference" else "ABLATION_r03.json")
+    "ABLATION_r05.json" if PROTOCOL == "reference" else "ABLATION_r03.json")
+
+
+def _reusable_variants() -> dict:
+    """Variants copied from MTBC_ABLATION_REUSE (same protocol/generator/
+    regime verified) so finished trainings aren't burned twice."""
+    src = os.environ.get("MTBC_ABLATION_REUSE")
+    if not src:
+        return {}
+    from multi_task_breast_cancer_tpu.data import synthetic
+    prev = json.loads(Path(src).read_text())
+    pc = prev["config"]
+    same = (pc.get("protocol") == PROTOCOL and pc.get("epochs") == EPOCHS
+            and pc.get("batch_size") == BATCH and pc.get("cv") == CV
+            and pc.get("seed") == SEED
+            and pc.get("generator_fingerprint")
+            == synthetic.hard_calibration_fingerprint())
+    if not same:
+        raise SystemExit(f"MTBC_ABLATION_REUSE={src} was produced under a "
+                         f"different protocol/generator: {pc}")
+    out = {}
+    for name, v in prev["variants"].items():
+        out[name] = dict(v, reused_from=src)
+    return out
 
 
 def _config(root: Path, oversampling: bool, architecture: str = "MTnnUNet"):
@@ -268,9 +294,12 @@ def main() -> None:
     root = synthetic.make_hard_busi(tmp / "busi", size=128, seed=7,
                                     difficulty=DIFFICULTY)
 
-    variants = {}
+    variants = _reusable_variants()
     walls = {}
     for oversampling, do_tag in ((False, ""), (True, "+DO")):
+        if all(f"MT{pr}{do_tag}" in variants for pr in ("", "+PR")):
+            print(f"MT{do_tag or ''}: reused", flush=True)
+            continue
         cfg = _config(root, oversampling)
         t0 = time.perf_counter()
         run_path = Path(run_experiment(
@@ -287,9 +316,11 @@ def main() -> None:
 
     # single-task rows: seg-only + cls-only trainings, then the two-model
     # "ST (Seg+Cls) + PR" combination (same nnU-Net family as the MT rows)
-    st_variants = () if PROTOCOL == "reference" else \
-        ((False, ""), (True, "+DO"))
-    for oversampling, do_tag in st_variants:
+    for oversampling, do_tag in ((False, ""), (True, "+DO")):
+        st_names = (f"ST_Seg{do_tag}", f"ST_Cls{do_tag}", f"ST_SegCls+PR{do_tag}")
+        if all(n in variants for n in st_names):
+            print(f"ST{do_tag or ''}: reused", flush=True)
+            continue
         seg_cfg = _config(root, oversampling, "nnUNet")
         t0 = time.perf_counter()
         seg_run = Path(run_experiment(

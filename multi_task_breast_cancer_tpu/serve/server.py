@@ -170,7 +170,7 @@ class MicroBatcher:
         self._carry: Optional[_Pending] = None  # over-budget request held
         self._stop = threading.Event()
         self.stats = {"requests": 0, "batches": 0, "max_batch_seen": 0,
-                      "batched_requests": 0, "images": 0}
+                      "batched_requests": 0, "images": 0, "shed_requests": 0}
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="mtbc-batcher")
         self._thread.start()
@@ -195,18 +195,19 @@ class MicroBatcher:
         self._thread.join(timeout=5)
         if self._thread.is_alive():
             # Batcher is stuck inside a long device call (e.g. a first-batch
-            # compile). Touching _carry/_queue now would race it; the loop
-            # fails all leftovers itself on exit.
+            # compile). Touching _carry/_queue now would race it; the loop's
+            # own ``finally`` fails all leftovers when it exits.
             logging.warning("batcher thread still busy at close; pending "
                             "requests will be failed when it exits")
             return
-        self._fail_leftovers()
+        self._fail_leftovers()  # idempotent second sweep after the loop's own
 
     def _fail_leftovers(self):
         """Fail still-pending work (queued or carried between batches) so
         clients get an immediate error instead of waiting out their submit
-        timeout. Called from the loop thread on exit and (idempotently) from
-        ``close()`` once that thread is known dead — never concurrently."""
+        timeout. Called from the loop thread's ``finally`` on exit and
+        (idempotently) from ``close()`` once that thread is known dead —
+        never concurrently."""
         leftovers = [] if self._carry is None else [self._carry]
         self._carry = None
         while True:
@@ -254,6 +255,15 @@ class MicroBatcher:
         return batch
 
     def _loop(self):
+        try:
+            self._loop_body()
+        finally:
+            # whichever side wins the close() race, leftovers (queued or
+            # carried) get failed promptly instead of waiting out their
+            # submit timeout — close() only repeats this if it outlived us
+            self._fail_leftovers()
+
+    def _loop_body(self):
         info = self._backend.info
         while not self._stop.is_set():
             batch = self._collect()

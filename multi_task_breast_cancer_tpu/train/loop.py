@@ -64,10 +64,16 @@ class EngineConfig:
     fast_augmentation: bool = False
 
 
-def make_cls_targets(labels: np.ndarray, n_classes: int) -> np.ndarray:
+def make_cls_targets(labels: np.ndarray, n_classes: int,
+                     task: str = "classification") -> np.ndarray:
     """Reference target encoding: multiclass → one-hot float (``training_
-    multitask.py:83-84``); binary → (B,1) float labels."""
-    if np.max(labels, initial=0) >= max(n_classes, 2):
+    multitask.py:83-84``); binary → (B,1) float labels.
+
+    ``task='segmentation'`` skips the label-range guard: seg-only training
+    never consumes classification targets (the reference trains e.g.
+    ``classes: [benign, normal]`` segmentation fine, label 2 and all), so the
+    encoding is produced as inert scan payload without validation."""
+    if task != "segmentation" and np.max(labels, initial=0) >= max(n_classes, 2):
         # the fixed reference LABEL_MAP (benign=0, malignant=1, normal=2,
         # BUSI_dataset.py:63-80) is never remapped for filtered class
         # subsets, so e.g. classes=['benign','normal'] feeds label 2 into a
@@ -594,7 +600,8 @@ class Engine:
             "images": jnp.asarray(_pad(ds.images), self._storage_dtype(ds.images, dt)),
             "masks": jnp.asarray(_pad(ds.masks), self._storage_dtype(ds.masks, dt)),
             "cls_targets": jnp.asarray(
-                _pad(make_cls_targets(ds.labels, self.cfg.n_classes))),
+                _pad(make_cls_targets(ds.labels, self.cfg.n_classes,
+                                      self.cfg.task))),
             "labels_int": jnp.asarray(_pad(ds.labels)),
         }
         # fast-aug packed planes are only read by the TRAIN epoch — packing

@@ -105,6 +105,11 @@ def test_make_cls_targets_rejects_unmapped_labels():
     # the valid binary encoding is unchanged
     t = make_cls_targets(np.array([0, 1, 1]), n_classes=2)
     assert t.shape == (3, 1)
+    # a pure-segmentation run never consumes the targets: classes like
+    # [benign, normal] (labels 0 and 2) are valid seg configs in the
+    # reference and must NOT hard-fail (the guard is task-scoped)
+    t = make_cls_targets(np.array([0, 2, 0]), n_classes=2, task="segmentation")
+    assert t.shape == (3, 1)
 
 
 def test_hardcoded_cls_head_mismatch_fails_fast():

@@ -760,6 +760,59 @@ def test_single_device_honors_default_device(mt_artifact):
     assert all(np.isfinite(x).all() for x in jax.tree_util.tree_leaves(out))
 
 
+def test_microbatcher_sheds_abandoned_requests_and_survives():
+    """A request abandoned by its submitter (client timeout) must be SHED —
+    counted in stats and skipped — and the batcher thread must SURVIVE to
+    serve later requests. Regression: ``shed_requests`` was missing from the
+    stats initializer, so the first shed raised KeyError outside _loop's
+    try/except and permanently killed the batcher daemon (every subsequent
+    request then hung out its full submit timeout)."""
+    import time
+
+    import multi_task_breast_cancer_tpu.serve.server as S
+
+    release = threading.Event()
+
+    class StubBackend:
+        info = {"task": "classification", "n_classes": 3,
+                "pipeline_refinement": False, "softmax_in_forward": False}
+        calls = 0
+
+        def predict(self, images):
+            StubBackend.calls += 1
+            if StubBackend.calls == 1:
+                release.wait(10)  # hold the batcher inside the device call
+            return {"logits": np.zeros((images.shape[0], 3), np.float32)}
+
+        def postprocess(self, out):
+            class _P:
+                masks = None
+                mask_scale = 1
+
+                def record(self, i):
+                    return {"i": int(i)}
+            return _P()
+
+    b = S.MicroBatcher(StubBackend(), max_batch=4, batch_wait_ms=1.0)
+    try:
+        img = np.zeros((1, SIZE, SIZE, 1), np.float32)
+        t_a = threading.Thread(target=lambda: b.submit_many(img.copy()))
+        t_a.start()                    # A occupies the batcher in predict()
+        time.sleep(0.3)
+        with pytest.raises(TimeoutError):
+            b.submit_many(img.copy(), timeout_s=0.2)  # B abandons while queued
+        release.set()
+        t_a.join(timeout=10)
+        # FIFO: by the time C answers, the shed B has been collected
+        out = b.submit_many(img.copy(), timeout_s=10)
+        assert len(out) == 1
+        assert b.stats["shed_requests"] == 1
+        assert b._thread.is_alive()
+    finally:
+        release.set()
+        b.close()
+
+
 def test_microbatcher_close_fails_pending_requests():
     """close() must fail queued/carried requests immediately instead of
     leaving their clients to wait out the full submit timeout."""

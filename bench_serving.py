@@ -203,6 +203,58 @@ def main() -> None:
         batch_request()  # warm
         batch_rate = BUCKET * 3 / sum(batch_request() for _ in range(3))
 
+        # raw octet-stream arms (round 5): clients POST uint8 planes, so the
+        # host's single core never runs cv2.imdecode/base64 — the measured
+        # dominant cost of the PNG arms above
+        raw_body = raw.tobytes()
+
+        def one_raw_request(timeout=300.0) -> float:
+            t0 = time.perf_counter()
+            req = urllib.request.Request(
+                base + "/predict", data=raw_body,
+                headers={"Content-Type": "application/octet-stream"},
+                method="POST")
+            urllib.request.urlopen(req, timeout=timeout).read()
+            return (time.perf_counter() - t0) * 1e3
+
+        for _ in range(5):
+            one_raw_request()
+        raw_lat = sorted(one_raw_request() for _ in range(40))
+        raw_lats, raw_errs = [], []
+
+        def raw_client():
+            try:
+                for _ in range(REQS):
+                    raw_lats.append(one_raw_request())
+            except Exception as e:  # noqa: BLE001
+                raw_errs.append(repr(e))
+
+        threads = [threading.Thread(target=raw_client) for _ in range(CLIENTS)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        raw_wall = time.perf_counter() - t0
+        assert not raw_errs, raw_errs[:3]
+        raw_concurrent_rate = CLIENTS * REQS / raw_wall
+
+        batch_raw_payload = np.repeat(raw[None], BUCKET, axis=0).tobytes()
+
+        def batch_raw_request() -> float:
+            t0 = time.perf_counter()
+            req = urllib.request.Request(
+                base + "/predict_batch", data=batch_raw_payload,
+                headers={"Content-Type": "application/octet-stream"},
+                method="POST")
+            resp = json.loads(urllib.request.urlopen(req, timeout=600).read())
+            assert resp["count"] == BUCKET
+            return time.perf_counter() - t0
+
+        batch_raw_request()  # warm
+        batch_raw_rate = BUCKET * 3 / sum(batch_raw_request()
+                                          for _ in range(3))
+
     print(json.dumps({
         "metric": "serving",
         "platform": jax.devices()[0].platform,
@@ -218,6 +270,11 @@ def main() -> None:
         "concurrent_imgs_s": round(concurrent_rate, 1),
         "concurrent_mean_latency_ms": round(float(np.mean(lats)), 2),
         "predict_batch_imgs_s": round(batch_rate, 1),
+        "raw_online_p50_ms": round(statistics.median(raw_lat), 2),
+        "raw_online_p95_ms": round(raw_lat[int(0.95 * len(raw_lat))], 2),
+        "raw_concurrent_imgs_s": round(raw_concurrent_rate, 1),
+        "raw_concurrent_mean_latency_ms": round(float(np.mean(raw_lats)), 2),
+        "raw_predict_batch_imgs_s": round(batch_raw_rate, 1),
         "data_parallel": dp_block,
         "batcher": stats,
     }))

@@ -11,14 +11,20 @@ Endpoints:
     GET  /healthz   liveness + model info
     GET  /stats     request/batch counters (observability)
     POST /predict   one image → JSON prediction
-        body: PNG bytes (Content-Type: image/png) or JSON
-        ``{"image_b64": <base64 PNG>}``; add ``?mask=1`` for a base64-PNG
-        segmentation mask in the response.
+        body: PNG bytes (Content-Type: image/png), JSON
+        ``{"image_b64": <base64 PNG>}``, or ``application/octet-stream``
+        raw uint8 — a ``.npy`` (H, W) array or one raw size² plane; add
+        ``?mask=1`` for a base64-PNG segmentation mask in the response.
     POST /predict_batch   many images in ONE request → JSON predictions
-        body: JSON ``{"images_b64": [<base64 PNG>, ...]}`` →
-        ``{"predictions": [...], "count": N}``; offline clients get
-        device-batch efficiency without N HTTP round-trips (and the batch
-        shards across chips on multi-device backends).
+        body: JSON ``{"images_b64": [<base64 PNG>, ...]}`` or
+        ``application/octet-stream`` uint8 — a ``.npy`` (N, H, W) array or
+        N raw size² planes → ``{"predictions": [...], "count": N}``;
+        offline clients get device-batch efficiency without N HTTP
+        round-trips (and the batch shards across chips on multi-device
+        backends). The raw forms skip PNG+base64 decode entirely — on a
+        one-core host that decode costs more CPU than the device forward
+        (measured: the dominant online-serving cost), so throughput-minded
+        clients should POST raw bytes.
 
 Backends: a ``jax.export`` artifact directory (:mod:`.export`) or a live
 checkpoint (model zoo + jit at startup).
@@ -329,9 +335,52 @@ def _decode_png(data: bytes) -> np.ndarray:
     return img
 
 
-def _decode_body(handler: BaseHTTPRequestHandler) -> np.ndarray:
+_NPY_MAGIC = b"\x93NUMPY"
+
+
+def _decode_raw(body: bytes, size: int) -> np.ndarray:
+    """``application/octet-stream`` body → grayscale uint8 image plane(s).
+
+    Two accepted layouts, neither touching cv2/base64 (PNG decode on this
+    path costs more CPU than the whole device forward — the raw path exists
+    so high-throughput clients skip it entirely):
+
+    - a ``.npy`` array (magic-sniffed): uint8, shape ``(H, W)`` or
+      ``(N, H, W)`` — resized server-side if H/W differ from the model;
+    - raw bytes: ``N·size²`` uint8 pixels, row-major ``size×size`` planes.
+    """
+    if body[:6] == _NPY_MAGIC:
+        import io
+        arr = np.load(io.BytesIO(body), allow_pickle=False)
+        if arr.dtype != np.uint8:
+            raise ValueError(f"npy payload must be uint8, got {arr.dtype}")
+        if arr.ndim == 2:
+            arr = arr[None]
+        if arr.ndim != 3:
+            raise ValueError(f"npy payload must be (H, W) or (N, H, W), "
+                             f"got shape {arr.shape}")
+        return arr
+    n, rem = divmod(len(body), size * size)
+    if rem or n == 0:
+        raise ValueError(
+            f"octet-stream body of {len(body)} B is neither .npy nor a "
+            f"whole number of raw {size}x{size} uint8 planes")
+    return np.frombuffer(body, np.uint8).reshape(n, size, size)
+
+
+def _content_type(handler: BaseHTTPRequestHandler) -> str:
+    return (handler.headers.get("Content-Type") or "").split(";")[0].strip()
+
+
+def _decode_body(handler: BaseHTTPRequestHandler, size: int) -> np.ndarray:
     body = _read_body(handler)
-    ctype = (handler.headers.get("Content-Type") or "").split(";")[0].strip()
+    ctype = _content_type(handler)
+    if ctype == "application/octet-stream":
+        planes = _decode_raw(body, size)
+        if planes.shape[0] != 1:
+            raise ValueError(f"/predict takes ONE image; got {planes.shape[0]}"
+                             " planes (use /predict_batch)")
+        return planes[0]
     if ctype == "application/json":
         payload = json.loads(body)
         body = base64.b64decode(payload["image_b64"])
@@ -341,12 +390,21 @@ def _decode_body(handler: BaseHTTPRequestHandler) -> np.ndarray:
 MAX_BATCH_IMAGES = 1024  # largest accepted /predict_batch request
 
 
-def _decode_batch_body(handler: BaseHTTPRequestHandler) -> list:
-    """``/predict_batch`` body: JSON ``{"images_b64": [<base64 PNG>, ...]}``."""
-    payload = json.loads(_read_body(handler))
+def _decode_batch_body(handler: BaseHTTPRequestHandler, size: int) -> list:
+    """``/predict_batch`` body: JSON ``{"images_b64": [<base64 PNG>, ...]}``
+    or ``application/octet-stream`` uint8 planes (see :func:`_decode_raw`)."""
+    body = _read_body(handler)
+    if _content_type(handler) == "application/octet-stream":
+        planes = _decode_raw(body, size)
+        if planes.shape[0] > MAX_BATCH_IMAGES:
+            raise ValueError(f"batch of {planes.shape[0]} exceeds "
+                             f"{MAX_BATCH_IMAGES}")
+        return list(planes)
+    payload = json.loads(body)
     encoded = payload.get("images_b64")
     if not isinstance(encoded, list) or not encoded:
-        raise ValueError('expected JSON {"images_b64": [<base64 PNG>, ...]}')
+        raise ValueError('expected JSON {"images_b64": [<base64 PNG>, ...]} '
+                         'or an application/octet-stream uint8 body')
     if len(encoded) > MAX_BATCH_IMAGES:
         raise ValueError(f"batch of {len(encoded)} exceeds {MAX_BATCH_IMAGES}")
     return [_decode_png(base64.b64decode(e)) for e in encoded]
@@ -396,12 +454,12 @@ def make_handler(batcher: MicroBatcher, info: dict):
             # so retry policies and health alarms key on the right side
             try:
                 if url.path == "/predict_batch":
-                    grays = _decode_batch_body(self)
+                    grays = _decode_batch_body(self, info["size"])
                     images = np.stack([
                         prepare_image(g, info["size"], info["augmentation"])
                         for g in grays])
                 else:
-                    gray = _decode_body(self)
+                    gray = _decode_body(self, info["size"])
                     images = prepare_image(gray, info["size"],
                                            info["augmentation"])[None]
             except _BodyTooLarge as e:

@@ -184,6 +184,70 @@ def test_http_server_end_to_end(mt_artifact, tmp_path):
             "status"] == "ok"
 
 
+def test_http_raw_octet_stream_paths(mt_artifact):
+    """``application/octet-stream`` ingestion (npy / raw uint8 planes) must
+    return byte-for-byte the PNG path's predictions while never touching
+    cv2/base64 — the decode-free lane for throughput clients — and reject
+    malformed raw payloads with 400s that keep the server alive."""
+    import io
+
+    import cv2
+
+    _, _, art, *_ = mt_artifact
+    backend = ArtifactBackend(str(art))
+    rng = np.random.default_rng(5)
+    raw = (rng.random((3, SIZE, SIZE)) * 255).astype(np.uint8)
+    ok, png = cv2.imencode(".png", raw[0])
+    assert ok
+
+    def npy_bytes(a):
+        buf = io.BytesIO()
+        np.save(buf, a)
+        return buf.getvalue()
+
+    with InferenceServer(backend, max_batch=4, batch_wait_ms=1.0) as srv:
+        base = f"http://127.0.0.1:{srv.port}"
+
+        def post(path, body, ctype, expect_error=None):
+            req = urllib.request.Request(base + path, data=body,
+                                         headers={"Content-Type": ctype},
+                                         method="POST")
+            if expect_error is None:
+                return json.loads(urllib.request.urlopen(req).read())
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(req)
+            assert exc.value.code == expect_error
+
+        want = post("/predict", png.tobytes(), "image/png")
+        got_npy = post("/predict", npy_bytes(raw[0]), "application/octet-stream")
+        got_raw = post("/predict", raw[0].tobytes(), "application/octet-stream")
+        for got in (got_npy, got_raw):
+            assert got["probs"] == want["probs"]
+            assert got["predicted_class"] == want["predicted_class"]
+
+        # batch forms: npy (N, H, W) and N raw size² planes
+        b64 = [base64.b64encode(cv2.imencode(".png", g)[1].tobytes()).decode()
+               for g in raw]
+        want_b = post("/predict_batch",
+                      json.dumps({"images_b64": b64}).encode(),
+                      "application/json")
+        for body in (npy_bytes(raw), raw.tobytes()):
+            got_b = post("/predict_batch", body, "application/octet-stream")
+            assert got_b["count"] == 3
+            for g, w in zip(got_b["predictions"], want_b["predictions"]):
+                assert g["probs"] == w["probs"]
+
+        # malformed raw payloads → 400, server stays alive
+        post("/predict", raw.tobytes(), "application/octet-stream",
+             expect_error=400)  # 3 planes to the single-image endpoint
+        post("/predict", raw[0].tobytes()[:-7], "application/octet-stream",
+             expect_error=400)  # not a whole number of planes
+        post("/predict_batch", npy_bytes(raw.astype(np.float32)),
+             "application/octet-stream", expect_error=400)  # wrong dtype
+        assert json.loads(urllib.request.urlopen(base + "/healthz").read())[
+            "status"] == "ok"
+
+
 def test_checkpoint_backend_matches_artifact_backend(mt_artifact):
     """Live-jit backend and AOT artifact backend agree on the same inputs."""
     cfg, ckpt, art, *_ = mt_artifact

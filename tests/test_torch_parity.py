@@ -555,13 +555,14 @@ def _trajectory_data(n, hw, seed, n_classes=3):
     return images, masks, labels
 
 
-def _engine_for(model, task, n_classes, batch_size):
+def _engine_for(model, task, n_classes, batch_size, seg_criterion="DICE",
+                cls_criterion="Focal"):
     from multi_task_breast_cancer_tpu.train.loop import Engine, EngineConfig
     from multi_task_breast_cancer_tpu.train.optim import init_optimizer
     tx = init_optimizer("Adam", 1e-4)  # reference Adam(lr, eps=1e-4)
     cfg = EngineConfig(task=task, n_classes=n_classes, batch_size=batch_size,
                        alpha=0.35, inversely_weighted=True,
-                       seg_criterion="DICE", cls_criterion="Focal",
+                       seg_criterion=seg_criterion, cls_criterion=cls_criterion,
                        use_transforms=False, compute_dtype="float32")
     return Engine(model, tx, cfg), tx
 
@@ -690,3 +691,158 @@ def test_trajectory_parity_multitask_mtnnunet():
     t_arr, f_arr = np.asarray(t_steps), np.asarray(per_step)
     np.testing.assert_allclose(f_arr[0], t_arr[0], rtol=1e-4)
     np.testing.assert_allclose(f_arr, t_arr, rtol=3e-3, atol=1e-5)
+
+
+class _TorchMonaiGeneralizedDice(torch.nn.Module):
+    """MONAI ``GeneralizedDiceLoss(include_background=True, sigmoid=True)``
+    — the reference's GeneralizedDICE entry (``experiment_init.py:218``):
+    square class weights ``w = 1/ground_o²``; infinite weights (empty ground
+    truth) zeroed FIRST, then replaced by the per-sample max of the remaining
+    finite weights (an all-empty sample gets w=0 ⇒ finite 0 loss via the
+    1e-5 smooths, not NaN); per-sample ratio, mean reduction."""
+
+    def forward(self, logits, target):
+        p = torch.sigmoid(logits)
+        dims = tuple(range(2, logits.ndim))
+        inter = (p * target).sum(dim=dims)
+        ground_o = target.sum(dim=dims)
+        denominator = ground_o + p.sum(dim=dims)
+        w = 1.0 / (ground_o ** 2)
+        infs = torch.isinf(w)
+        w = torch.where(infs, torch.zeros_like(w), w)
+        max_w = w.max(dim=-1, keepdim=True).values
+        w = torch.where(infs, max_w, w)
+        numer = 2.0 * (inter * w).sum(dim=-1) + 1e-5
+        denom = (denominator * w).sum(dim=-1) + 1e-5
+        return (1.0 - numer / denom).mean()
+
+
+def test_trajectory_parity_segmentation_generalized_dice_empty_masks():
+    """8 composed train steps with the GeneralizedDICE criterion — the one
+    whose empty-mask NaN/inf-weight parity bug was only caught by review in
+    round 4 (fix 7ea6ffd) — including one batch of ENTIRELY empty masks and
+    one mixed empty/non-empty batch, so the inf-weight replacement path is
+    proven through backward + Adam composition, not just pointwise."""
+    from multi_task_breast_cancer_tpu.models.bts_unet import BTSUNet
+
+    crit = _ref("utils/criterions.py")
+    tm = _ref("models/segmentation/BTS_UNet.py").BTSUNet(
+        sequences=1, regions=1, width=8, deep_supervision=True)
+    tm.train()
+
+    n, hw, bs, steps = 16, 64, 2, 8
+    images, masks, _ = _trajectory_data(n, hw, seed=71)
+    masks[6:8] = 0.0   # batch 3: all-empty (normal-class images)
+    masks[10] = 0.0    # batch 5: mixed empty/non-empty
+    order = np.arange(n)
+
+    init_vars = _import_params("BTSUNet", tm, deep_supervision=True)
+
+    seg_criterion = _TorchMonaiGeneralizedDice()
+    opt = torch.optim.Adam(tm.parameters(), lr=1e-4, eps=1e-4)
+    t_losses = []
+    for k in range(steps):
+        sl = order[k * bs:(k + 1) * bs]
+        opt.zero_grad(set_to_none=True)
+        out = tm(_nchw(images[sl]))
+        loss = crit.apply_criterion_binary_segmentation(
+            seg_criterion, torch.from_numpy(masks[sl].transpose(0, 3, 1, 2)),
+            out, inversely_weighted=True)
+        loss.backward()
+        opt.step()
+        t_losses.append(float(loss.detach()))
+    assert np.isfinite(t_losses).all()
+
+    model = BTSUNet(regions=1, width=8, deep_supervision=True)
+    engine, tx = _engine_for(model, "segmentation", 3, bs,
+                             seg_criterion="GeneralizedDICE")
+    data = {"images": jnp.asarray(images), "masks": jnp.asarray(masks),
+            "cls_targets": jnp.zeros((n, 1), jnp.float32),
+            "labels_int": jnp.zeros((n,), jnp.int32)}
+    _, per_step = _run_engine_steps(engine, tx, init_vars, data, order, bs)
+    f_losses = [s[0] for s in per_step]
+
+    np.testing.assert_allclose(f_losses[0], t_losses[0], rtol=1e-5)
+    np.testing.assert_allclose(f_losses, t_losses, rtol=2e-3, atol=1e-5)
+
+
+def _torch_cls_trajectory(tm, criterion, images, labels_enc, order, bs, steps,
+                          crit):
+    """The reference classification train loop (``training_classification.py:
+    39-56``): zero_grad → forward → apply_criterion_classification →
+    backward → Adam(eps=1e-4) step; per-step losses returned."""
+    opt = torch.optim.Adam(tm.parameters(), lr=1e-4, eps=1e-4)
+    losses = []
+    for k in range(steps):
+        sl = order[k * bs:(k + 1) * bs]
+        opt.zero_grad(set_to_none=True)
+        pred = tm(_nchw(images[sl]))
+        loss = crit.apply_criterion_classification(
+            criterion, torch.from_numpy(labels_enc[sl]), pred,
+            inversely_weighted=False)
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.detach()))
+    return losses
+
+
+def test_trajectory_parity_classification_focal_and_bce():
+    """8 composed train steps each for the two reference classification
+    branches (``training_classification.py:42-53`` + ``experiment_init.py:
+    235-263``): multiclass → custom FocalLoss(α=1, γ=2) on one-hot targets;
+    binary → BCEWithLogits on (B,1) float labels against the 1-logit head.
+    BTSUNetClassifier(width=8) at 64²; the torch side drives the reference's
+    own criterion + loss-application code imported in place."""
+    from multi_task_breast_cancer_tpu.models.classifiers import BTSUNetClassifier
+    from multi_task_breast_cancer_tpu.train.loop import make_cls_targets
+
+    crit = _ref("utils/criterions.py")
+    # 128² input: the classifier head hard-codes Flatten → Linear(w·8·8)
+    # (BTS_UNET_classifier.py:100-104), so smaller inputs don't shape-check
+    n, hw, bs, steps = 12, 128, 2, 6
+    images, _, labels3 = _trajectory_data(n, hw, seed=73)
+    order = np.arange(n)
+    zero_masks = np.zeros((n, hw, hw, 1), np.float32)
+
+    # --- multiclass Focal branch ---
+    tm = _ref("models/classification/BTS_UNET_classifier.py").BTSUNetClassifier(
+        sequences=1, classes=3, width=8)
+    tm.train()
+    init_vars = _import_params("BTSUNetClassifier", tm, width=8)
+    one_hot = np.eye(3, dtype=np.float32)[labels3]
+    t_losses = _torch_cls_trajectory(
+        tm, crit.FocalLoss(alpha=1, gamma=2, reduction="mean"),
+        images, one_hot, order, bs, steps, crit)
+
+    model = BTSUNetClassifier(n_classes=3, width=8)
+    engine, tx = _engine_for(model, "classification", 3, bs,
+                             cls_criterion="Focal")
+    data = {"images": jnp.asarray(images), "masks": jnp.asarray(zero_masks),
+            "cls_targets": jnp.asarray(make_cls_targets(labels3, 3)),
+            "labels_int": jnp.asarray(labels3)}
+    _, per_step = _run_engine_steps(engine, tx, init_vars, data, order, bs)
+    f_losses = [s[0] for s in per_step]
+    np.testing.assert_allclose(f_losses[0], t_losses[0], rtol=1e-5)
+    np.testing.assert_allclose(f_losses, t_losses, rtol=2e-3, atol=1e-5)
+
+    # --- binary BCE branch (1-logit head collapse) ---
+    labels2 = (labels3 % 2).astype(np.int32)
+    tm2 = _ref("models/classification/BTS_UNET_classifier.py").BTSUNetClassifier(
+        sequences=1, classes=2, width=8)
+    tm2.train()
+    init_vars2 = _import_params("BTSUNetClassifier", tm2, width=8)
+    bin_targets = labels2.astype(np.float32)[:, None]
+    t_losses2 = _torch_cls_trajectory(
+        tm2, torch.nn.BCEWithLogitsLoss(), images, bin_targets, order, bs,
+        steps, crit)
+
+    model2 = BTSUNetClassifier(n_classes=2, width=8)
+    engine2, tx2 = _engine_for(model2, "classification", 2, bs,
+                               cls_criterion="Focal")  # binary ⇒ BCE anyway
+    data2 = {"images": jnp.asarray(images), "masks": jnp.asarray(zero_masks),
+             "cls_targets": jnp.asarray(make_cls_targets(labels2, 2)),
+             "labels_int": jnp.asarray(labels2)}
+    _, per_step2 = _run_engine_steps(engine2, tx2, init_vars2, data2, order, bs)
+    f_losses2 = [s[0] for s in per_step2]
+    np.testing.assert_allclose(f_losses2[0], t_losses2[0], rtol=1e-5)
+    np.testing.assert_allclose(f_losses2, t_losses2, rtol=2e-3, atol=1e-5)

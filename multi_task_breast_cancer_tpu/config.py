@@ -79,10 +79,12 @@ class TrainingConfig:
     per_epoch_test_artifacts: bool = False
     # Opt-in 3-shear Pallas augmentation (PARITY D13): identical flip/angle
     # draws, rotation resampled per shear instead of in one gather — measured
-    # ~8x faster augmentation (~+20% train throughput at 128²) on TPU v5e.
+    # ~8x faster augmentation (~+30% train throughput at 128²) on TPU v5e.
     # Works with bfloat16 AND float32 compute, any channel count (augment
-    # channels pack into int32 planes), and non-square EVEN image dims; only
-    # odd dims fall back. Incompatible with training.spatial_partitions.
+    # channels pack into int32 planes), any image dims (odd dims pad one
+    # row/col: documented ≤1-px deviation), and composes with
+    # training.spatial_partitions (augmentation runs on the data axis,
+    # rows reshard over 'space' right after).
     fast_augmentation: bool = False
 
 

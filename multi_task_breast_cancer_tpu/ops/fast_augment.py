@@ -29,12 +29,13 @@ run on 32-bit lanes (Mosaic requires matching data/index bitwidths):
 - bf16 compute packs channel PAIRS per plane ((u16(ch2k)<<16)|u16(ch2k+1),
   odd channel counts zero-padded) — P = ceil(C/2);
 - f32 compute bitcasts each channel to its own int32 plane — P = C;
-- S is the square canvas: H,W (even) are embedded CENTERED in the smallest
+- S is the square canvas: H,W are embedded CENTERED in the smallest
   kernel-compatible square (next multiple of 8 up to one vreg, else next
   multiple of 128 — see ``plan_canvas``). Centered embedding makes flips and
   rotation about the canvas center coincide exactly with the image-center
   semantics of the exact path; margins are zero-filled like torchvision's
-  ``fill=0`` and cropped away after the kernel.
+  ``fill=0`` and cropped away after the kernel. Odd H/W zero-pad one
+  bottom/right row/col first (≤1-px deviation, see ``pack_channels``).
 
 The per-(sample, plane) canvas is DMA'd contiguously into VMEM via
 scalar-prefetch block indexing, which also performs the batch row selection;
@@ -102,7 +103,7 @@ def plan_canvas(h: int, w: int) -> int:
     Kernel-compatible = lane width ≤ one vreg (rounded to the 8-sublane
     granule) or a multiple of 128 (the lane-blocked gather, see
     ``_lane_gather``). H and W must be even so the centered margins are
-    integers — checked by the caller."""
+    integers — ``pack_channels`` pads odd dims up first."""
     m = max(h, w, 8)
     if m <= _LANE:
         return -(-m // 8) * 8
@@ -115,13 +116,21 @@ def pack_channels(stack: Array, compute_dtype: str) -> Tuple[Array, AugFormat]:
     bf16: channel pairs per int32 lane (odd C zero-padded); f32: one channel
     per plane (bitcast). The image is embedded centered in the S×S canvas
     with zero margins (torchvision ``fill=0`` semantics — zero bits decode to
-    0.0 in both dtypes)."""
+    0.0 in both dtypes).
+
+    ODD H/W are handled by one bottom/right zero-pad row/column before the
+    centered embedding (the centered margins must be integral). Documented
+    ≤1-px deviation vs the exact path (the fast path is already not
+    bit-exact, PARITY D13): the flip/rotation center sits 0.5 px from the
+    odd image's true center, so a flip translates the content by one pixel
+    in the odd dimension — JOINTLY for masks and image channels (the whole
+    packed stack moves together), so mask/image alignment is never broken.
+    Unpacking crops the original H×W back out exactly."""
     n, h, w, c = stack.shape
-    if h % 2 or w % 2:
-        raise ValueError(
-            f"fast_augmentation needs even image dims for exact centered "
-            f"canvas embedding; got {h}x{w} — use the exact augmentation path")
-    s = plan_canvas(h, w)
+    ph, pw = h + (h % 2), w + (w % 2)
+    if (ph, pw) != (h, w):
+        stack = jnp.pad(stack, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
+    s = plan_canvas(ph, pw)
     if compute_dtype == "bfloat16":
         x = stack.astype(jnp.bfloat16)
         if c % 2:
@@ -132,11 +141,11 @@ def pack_channels(stack: Array, compute_dtype: str) -> Tuple[Array, AugFormat]:
                                               jnp.int32)
     else:
         raise ValueError(f"unsupported compute_dtype {compute_dtype!r}")
-    planes = jnp.moveaxis(planes, -1, 1)          # (N,P,H,W)
-    oy, ox = (s - h) // 2, (s - w) // 2
-    if oy or ox:
-        planes = jnp.pad(planes, ((0, 0), (0, 0), (oy, s - h - oy),
-                                  (ox, s - w - ox)))
+    planes = jnp.moveaxis(planes, -1, 1)          # (N,P,PH,PW)
+    oy, ox = (s - ph) // 2, (s - pw) // 2
+    if s != ph or s != pw:
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (oy, s - ph - oy),
+                                  (ox, s - pw - ox)))
     fmt = AugFormat(n_channels=c, n_planes=planes.shape[1],
                     dtype=compute_dtype, height=h, width=w, canvas=s)
     return planes, fmt
@@ -373,8 +382,16 @@ def fast_joint_transform(packed: Array, batch_idx: Array, key: jax.Array, *,
     on its own B/n slice — GSPMD never sees the kernel, so no partitioning
     rule is needed. The flip/angle DRAWS happen once, outside the shard_map,
     so the augmented batch is bit-identical to the single-device path.
-    Spatial ('space'>1) meshes are rejected upstream (``Engine.__init__``):
-    the kernel needs whole image planes in one core's VMEM."""
+
+    2-D ``(data × space)`` meshes COMPOSE (round 5): ``'space'`` is simply
+    unmentioned in the shard_map specs, so every space member of a data row
+    computes that row's augmentation replicated (whole planes always fit a
+    core's VMEM — one 256² int32 plane is 256 KB) and the training step's
+    ``P('data','space')`` sharding constraints reshard rows over ``'space'``
+    immediately after. The duplicated work along 'space' is the augmentation
+    only (~2 ms/256-batch on the fast path) — a deliberate trade against a
+    halo-exchanging spatially-sharded gather kernel that Mosaic cannot
+    express (PARITY round-3: multi-vreg gather sources are rejected)."""
     import os
     # MTBC_FASTAUG_INTERPRET=1 forces the Pallas kernel in interpret mode —
     # lets CPU runs (tests, the multi-chip dryrun) execute the actual kernel
@@ -386,13 +403,15 @@ def fast_joint_transform(packed: Array, batch_idx: Array, key: jax.Array, *,
     w = packed.shape[-1]
     idx, t1 = build_pipeline_params(key, b, w, p_hflip=p_hflip,
                                     p_vflip=p_vflip, max_angle=max_angle)
-    n_data = 1 if mesh is None else mesh.shape.get("data", 1)
-    if n_data > 1:
+    if mesh is not None:
         from jax.sharding import PartitionSpec as P
+        n_data = mesh.shape.get("data", 1)
         if b % n_data:
             raise ValueError(
                 f"fast_augmentation under a data mesh needs batch_size ({b}) "
                 f"divisible by the 'data' axis size ({n_data})")
+        # 'space' (if present) is unmentioned ⇒ replicated augmentation per
+        # space member; the caller reshards rows right after (see docstring)
         run = jax.shard_map(
             lambda p, bi, ix, t: _execute(p, bi, ix, t, use_pallas=use_pallas,
                                           interpret=interpret),

@@ -59,8 +59,9 @@ class EngineConfig:
     # opt-in 3-shear Pallas augmentation (PARITY D13): same flip/angle draws,
     # rotation resampled per shear — measured 8x faster than the exact-parity
     # gather on TPU v5e. Any channel count (augment channels pack pairwise in
-    # bf16, one int32 plane each in f32); even dims (non-square embeds
-    # centered in a padded square canvas). Odd dims fall back with an error.
+    # bf16, one int32 plane each in f32); any dims (non-square embeds
+    # centered in a padded square canvas; odd dims zero-pad one row/col with
+    # a documented <=1-px deviation, see ops/fast_augment.pack_channels).
     fast_augmentation: bool = False
 
 
@@ -130,12 +131,10 @@ class Engine:
         self._aug_fmt = None
         self._aug_n_mask = 1
         if mesh is not None and cfg.use_transforms and cfg.fast_augmentation:
-            if mesh.shape.get("space", 1) > 1:
-                raise ValueError(
-                    "fast_augmentation cannot run spatially partitioned "
-                    "(whole image planes must sit in one core's VMEM); use "
-                    "the exact augmentation path (training.fast_augmentation"
-                    ": false) with training.spatial_partitions")
+            # spatial meshes compose: augmentation runs on the DATA axis
+            # (whole planes fit any core's VMEM — one 256² int32 plane is
+            # 256 KB), replicated along 'space', and the step's sharding
+            # constraints reshard rows over 'space' right afterwards
             n_data = mesh.shape.get("data", 1)
             if n_data > 1 and cfg.batch_size % n_data:
                 raise ValueError(

@@ -198,10 +198,38 @@ def test_driver_trains_spatially_partitioned(tmp_path):
         assert m.notna().all().all()
 
 
-def test_spatial_rejects_fast_augmentation():
-    model = init_segmentation_model("BTSUNet", width=4, deep_supervision=False)
-    tx = init_optimizer("Adam", 1e-3)
-    cfg = EngineConfig(task="segmentation", n_classes=3, batch_size=4,
-                       compute_dtype="bfloat16", fast_augmentation=True)
-    with pytest.raises(ValueError, match="spatially partitioned"):
-        Engine(model, tx, cfg, mesh=data_space_mesh(2))
+def test_spatial_composes_with_fast_augmentation():
+    """The two TPU perf features COMPOSE (round 5; this used to raise):
+    fast_augmentation on a (2 data × 4 space) mesh runs the 3-shear kernel on
+    the data axis ('space' replicated — whole planes always fit VMEM) and the
+    step's sharding constraints reshard rows over 'space' right after. One
+    epoch + eval must reproduce the single-device fast-aug trajectory (same
+    draws outside the shard_map ⇒ identical augmented batches; cross-shard
+    reduction order moves sums by float rounding only), and the compiled
+    program must still exchange conv halos."""
+    ds = _dataset()
+    results = {}
+    for name, mesh in (("single", None), ("spatial", data_space_mesh(4))):
+        model = init_multitask_model("Multi_BTSUNet", n_classes=3, width=4)
+        tx = init_optimizer("Adam", 1e-3)
+        cfg = EngineConfig(task="multitask", n_classes=3, batch_size=4,
+                           use_transforms=True, max_angle=180.0,
+                           fast_augmentation=True)
+        engine = Engine(model, tx, cfg, mesh=mesh)
+        state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 64, 64, 1)))
+        data = engine.device_data(ds)
+        assert "aug_packed" in data
+        perm = plan_epoch_indices(len(ds), 4, np.random.default_rng(42))
+        if mesh is not None:
+            compiled = engine._train_epoch.lower(
+                state, data["images"], data["masks"], data["cls_targets"],
+                data["labels_int"], jnp.asarray(perm), jax.random.PRNGKey(1),
+                None, data["aug_packed"]).compile()
+            assert "collective-permute" in compiled.as_text(), \
+                "fast-aug spatial program must still exchange conv halos"
+        state, m = engine.train_epoch(state, data, perm, jax.random.PRNGKey(1))
+        ev = engine.eval_epoch(state, data)
+        results[name] = (m["loss"], ev["loss"], ev["dice"], ev["acc"])
+
+    np.testing.assert_allclose(results["single"], results["spatial"], rtol=2e-4)

@@ -4,12 +4,20 @@ Re-trains the ablation's MT and MT+DO rows (same data/seed/protocol as
 ``bench_ablation.py``) with ``training.fast_augmentation: true`` — the
 opt-in 3-shear Pallas rotation that changes nearest-rounding semantics —
 and compares every summary metric against the exact-parity arm recorded in
-``ABLATION_r03.json``. Quality-neutral = each |delta| within the
+the matching ablation artifact. Quality-neutral = each |delta| within the
 exact-parity arm's own fold spread (2σ, floor 0.02), and the PR-rescue
 structure reproduces.
 
-Writes ``FASTAUG_QUALITY_r03.json``. Run on TPU (~12 min; the Pallas
-kernel path requires a TPU — this harness has no CPU mode).
+Protocols (same switch as bench_ablation):
+- default (harness: epochs 80, batch 8): baseline ``ABLATION_r03.json``,
+  writes ``FASTAUG_QUALITY_r03.json``;
+- ``MTBC_ABLATION_PROTOCOL=reference`` (the reference's own regime,
+  ``config.yaml:24-36``: epochs 200, batch 2, patience 50): baseline
+  ``ABLATION_r05.json``, writes ``FASTAUG_QUALITY_r05.json`` — the
+  decision-grade evidence for flipping the fast path to default.
+
+Run on TPU (~12 min harness / ~50 min reference; the Pallas kernel path
+requires a TPU — this harness has no CPU mode).
 """
 
 from __future__ import annotations
@@ -23,17 +31,22 @@ import numpy as np
 
 import bench_ablation as BA
 
+BASELINE_PATH = ("ABLATION_r05.json" if BA.PROTOCOL == "reference"
+                 else "ABLATION_r03.json")
+OUT_PATH = ("FASTAUG_QUALITY_r05.json" if BA.PROTOCOL == "reference"
+            else "FASTAUG_QUALITY_r03.json")
+
 
 def main() -> None:
     from multi_task_breast_cancer_tpu.data import synthetic
     from multi_task_breast_cancer_tpu.train.driver import run_experiment
 
-    baseline = json.loads(Path("ABLATION_r03.json").read_text())
+    baseline = json.loads(Path(BASELINE_PATH).read_text())
     fp = synthetic.hard_calibration_fingerprint()
     base_fp = baseline["config"].get("generator_fingerprint")
     if base_fp is not None and base_fp != fp:
         raise SystemExit(
-            f"generator calibration drift: ABLATION_r03.json was produced "
+            f"generator calibration drift: {BASELINE_PATH} was produced "
             f"with fingerprint {base_fp}, current generator is {fp} — the "
             f"within-fold-spread comparison would confound data "
             f"recalibration with augmentation semantics; regenerate the "
@@ -72,8 +85,10 @@ def main() -> None:
                   flush=True)
 
     out = {
-        "protocol": "ABLATION_r03 MT rows re-trained with "
-                    "training.fast_augmentation=true (same data/seed/epochs; "
+        "protocol": f"{BASELINE_PATH} MT rows re-trained with "
+                    "training.fast_augmentation=true (same data/seed/epochs/"
+                    f"batch; regime: {BA.PROTOCOL}, epochs {BA.EPOCHS}, "
+                    f"batch {BA.BATCH}, patience 50; "
                     "harness: bench_fastaug_quality.py)",
         "platform": __import__("jax").devices()[0].platform,
         "generator_fingerprint": fp,
@@ -82,7 +97,7 @@ def main() -> None:
                             for v in results.values())),
         "results": results,
     }
-    Path("FASTAUG_QUALITY_r03.json").write_text(json.dumps(out, indent=1) + "\n")
+    Path(OUT_PATH).write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps({"neutral": out["neutral"]}))
 
 

@@ -40,6 +40,13 @@ import pandas as pd
 # already-trained variants from a previous artifact at the SAME protocol +
 # generator fingerprint instead of re-training them (provenance recorded
 # per variant) — e.g. reuse ABLATION_r04.json's reference-protocol MT rows.
+#
+# Crash resilience (the grid is hours of TPU time): MTBC_ABLATION_TMP pins
+# the working directory; on re-run, completed trainings are picked up via
+# the driver's own crash-resume (completed folds skipped, interrupted fold
+# restarted from its checkpoint) and finished inference CSVs are re-read
+# instead of re-predicted. After every variant the full artifact-so-far is
+# written to ``<out>.partial`` (also valid as MTBC_ABLATION_REUSE input).
 PROTOCOL = os.environ.get("MTBC_ABLATION_PROTOCOL", "harness")
 EPOCHS = 200 if PROTOCOL == "reference" else 80
 CV = 4
@@ -74,6 +81,32 @@ def _reusable_variants() -> dict:
     for name, v in prev["variants"].items():
         out[name] = dict(v, reused_from=src)
     return out
+
+
+def _run_or_resume(cfg, task: str, run_root: Path) -> Path:
+    """Train under ``run_root``, resuming an interrupted run already there
+    (driver crash-resume: completed folds skipped, RNG replayed)."""
+    from multi_task_breast_cancer_tpu.train.driver import run_experiment
+    existing = sorted(p for p in run_root.glob("*_batch_*") if p.is_dir()) \
+        if run_root.is_dir() else []
+    if existing:
+        print(f"resuming {existing[0]}", flush=True)
+        return Path(run_experiment(cfg, task=task, mode="CV",
+                                   run_root=str(run_root),
+                                   resume_dir=str(existing[0])))
+    return Path(run_experiment(cfg, task=task, mode="CV",
+                               run_root=str(run_root)))
+
+
+def _finished_inference(out_root: Path) -> list | None:
+    """Fold metrics from an inference dir a previous (killed) run already
+    completed — all CV fold CSV pairs present — else None."""
+    dirs = [out_root / f"fold_{n}" for n in range(CV)]
+    if all((d / "results_segmentation.csv").is_file()
+           and (d / "results_classification.csv").is_file() for d in dirs):
+        return [_fold_metrics(d / "results_segmentation.csv",
+                              d / "results_classification.csv") for d in dirs]
+    return None
 
 
 def _config(root: Path, oversampling: bool, architecture: str = "MTnnUNet"):
@@ -170,6 +203,9 @@ def _st_pr_inference(seg_cfg, seg_run: Path, cls_cfg, cls_run: Path,
     from multi_task_breast_cancer_tpu.train.inference import (
         _cls_logits_np, _seg_heads_np, _sigmoid, count_pixels)
 
+    done = _finished_inference(out_root)
+    if done is not None:
+        return done
     cls_states = list(_fold_states(cls_cfg, cls_run, "classification"))
     rows = []
     for n, (fold, seg_engine, seg_state) in enumerate(
@@ -288,23 +324,32 @@ def _summarize(rows: list) -> dict:
 
 def main() -> None:
     from multi_task_breast_cancer_tpu.data import synthetic
-    from multi_task_breast_cancer_tpu.train.driver import run_experiment
 
-    tmp = Path(tempfile.mkdtemp(prefix="mtbc_ablation_"))
+    tmp_pin = os.environ.get("MTBC_ABLATION_TMP")
+    tmp = Path(tmp_pin) if tmp_pin else Path(tempfile.mkdtemp(
+        prefix="mtbc_ablation_"))
+    # deterministic generator (seed 7) — regeneration over a pinned dir is
+    # byte-identical, so resumed runs see the exact same dataset
     root = synthetic.make_hard_busi(tmp / "busi", size=128, seed=7,
                                     difficulty=DIFFICULTY)
 
     variants = _reusable_variants()
     walls = {}
+
+    def checkpoint(final: bool = False) -> None:
+        path = Path(OUT_PATH if final else OUT_PATH + ".partial")
+        path.write_text(json.dumps(_artifact(variants, walls), indent=1) + "\n")
+        if final:
+            Path(OUT_PATH + ".partial").unlink(missing_ok=True)
+
     for oversampling, do_tag in ((False, ""), (True, "+DO")):
         if all(f"MT{pr}{do_tag}" in variants for pr in ("", "+PR")):
             print(f"MT{do_tag or ''}: reused", flush=True)
             continue
         cfg = _config(root, oversampling)
         t0 = time.perf_counter()
-        run_path = Path(run_experiment(
-            cfg, task="multitask", mode="CV",
-            run_root=str(tmp / f"runs_do{int(oversampling)}")))
+        run_path = _run_or_resume(cfg, "multitask",
+                                  tmp / f"runs_do{int(oversampling)}")
         walls[f"train_mt{do_tag or '_base'}"] = round(time.perf_counter() - t0, 1)
         for use_pr, pr_tag in ((False, ""), (True, "+PR")):
             name = "MT" + pr_tag + do_tag
@@ -313,6 +358,7 @@ def main() -> None:
             variants[name] = {"folds": rows, "summary": _summarize(rows)}
             print(name, json.dumps(variants[name]["summary"]), flush=True)
         shutil.rmtree(run_path / "fold_0" / "features_map", ignore_errors=True)
+        checkpoint()
 
     # single-task rows: seg-only + cls-only trainings, then the two-model
     # "ST (Seg+Cls) + PR" combination (same nnU-Net family as the MT rows)
@@ -323,15 +369,13 @@ def main() -> None:
             continue
         seg_cfg = _config(root, oversampling, "nnUNet")
         t0 = time.perf_counter()
-        seg_run = Path(run_experiment(
-            seg_cfg, task="segmentation", mode="CV",
-            run_root=str(tmp / f"runs_seg{int(oversampling)}")))
+        seg_run = _run_or_resume(seg_cfg, "segmentation",
+                                 tmp / f"runs_seg{int(oversampling)}")
         walls[f"train_st_seg{do_tag or '_base'}"] = round(time.perf_counter() - t0, 1)
         cls_cfg = _config(root, oversampling, "nnUNetClassifier")
         t0 = time.perf_counter()
-        cls_run = Path(run_experiment(
-            cls_cfg, task="classification", mode="CV",
-            run_root=str(tmp / f"runs_cls{int(oversampling)}")))
+        cls_run = _run_or_resume(cls_cfg, "classification",
+                                 tmp / f"runs_cls{int(oversampling)}")
         walls[f"train_st_cls{do_tag or '_base'}"] = round(time.perf_counter() - t0, 1)
 
         for name, rows in (
@@ -342,8 +386,15 @@ def main() -> None:
                     tmp / f"st_inf_{int(oversampling)}"))):
             variants[name] = {"folds": rows, "summary": _summarize(rows)}
             print(name, json.dumps(variants[name]["summary"]), flush=True)
+        checkpoint()
 
-    out = {
+    checkpoint(final=True)
+    print(json.dumps({k: v["summary"] for k, v in variants.items()}, indent=1))
+
+
+def _artifact(variants: dict, walls: dict) -> dict:
+    from multi_task_breast_cancer_tpu.data import synthetic
+    return {
         "config": {"model": "MTnnUNet", "epochs": EPOCHS, "cv": CV,
                    "batch_size": BATCH, "seed": SEED, "difficulty": DIFFICULTY,
                    "protocol": PROTOCOL,
@@ -377,8 +428,6 @@ def main() -> None:
         },
         "variants": variants,
     }
-    Path(OUT_PATH).write_text(json.dumps(out, indent=1) + "\n")
-    print(json.dumps({k: v["summary"] for k, v in variants.items()}, indent=1))
 
 
 if __name__ == "__main__":

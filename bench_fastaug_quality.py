@@ -23,11 +23,10 @@ requires a TPU — this harness has no CPU mode).
 from __future__ import annotations
 
 import json
+import os
 import tempfile
 import time
 from pathlib import Path
-
-import numpy as np
 
 import bench_ablation as BA
 
@@ -39,7 +38,6 @@ OUT_PATH = ("FASTAUG_QUALITY_r05.json" if BA.PROTOCOL == "reference"
 
 def main() -> None:
     from multi_task_breast_cancer_tpu.data import synthetic
-    from multi_task_breast_cancer_tpu.train.driver import run_experiment
 
     baseline = json.loads(Path(BASELINE_PATH).read_text())
     fp = synthetic.hard_calibration_fingerprint()
@@ -51,7 +49,12 @@ def main() -> None:
             f"within-fold-spread comparison would confound data "
             f"recalibration with augmentation semantics; regenerate the "
             f"baseline (bench_ablation.py) first")
-    tmp = Path(tempfile.mkdtemp(prefix="mtbc_fastaug_"))
+    # crash resilience (same scheme as bench_ablation): MTBC_FASTAUG_TMP pins
+    # the workdir so a killed run resumes via the driver's crash-resume, and
+    # each finished variant checkpoints the artifact-so-far to <out>.partial.
+    tmp_pin = os.environ.get("MTBC_FASTAUG_TMP")
+    tmp = Path(tmp_pin) if tmp_pin else Path(tempfile.mkdtemp(
+        prefix="mtbc_fastaug_"))
     root = synthetic.make_hard_busi(tmp / "busi", size=128, seed=7,
                                     difficulty=BA.DIFFICULTY)
 
@@ -60,9 +63,8 @@ def main() -> None:
         cfg = BA._config(root, oversampling)
         cfg.training.fast_augmentation = True
         t0 = time.perf_counter()
-        run_path = Path(run_experiment(
-            cfg, task="multitask", mode="CV",
-            run_root=str(tmp / f"runs_fa{int(oversampling)}")))
+        run_path = BA._run_or_resume(cfg, "multitask",
+                                     tmp / f"runs_fa{int(oversampling)}")
         walls[f"train_mt{do_tag or '_base'}"] = round(time.perf_counter() - t0, 1)
         for use_pr, pr_tag in ((False, ""), (True, "+PR")):
             name = "MT" + pr_tag + do_tag
@@ -83,8 +85,17 @@ def main() -> None:
                              "within_fold_spread": ok}
             print(name, json.dumps(summary), "deltas:", json.dumps(deltas),
                   flush=True)
+        Path(OUT_PATH + ".partial").write_text(
+            json.dumps(_artifact(results, walls, fp), indent=1) + "\n")
 
-    out = {
+    Path(OUT_PATH).write_text(
+        json.dumps(_artifact(results, walls, fp), indent=1) + "\n")
+    Path(OUT_PATH + ".partial").unlink(missing_ok=True)
+    print(json.dumps({"neutral": _artifact(results, walls, fp)["neutral"]}))
+
+
+def _artifact(results: dict, walls: dict, fp: str) -> dict:
+    return {
         "protocol": f"{BASELINE_PATH} MT rows re-trained with "
                     "training.fast_augmentation=true (same data/seed/epochs/"
                     f"batch; regime: {BA.PROTOCOL}, epochs {BA.EPOCHS}, "
@@ -97,8 +108,6 @@ def main() -> None:
                             for v in results.values())),
         "results": results,
     }
-    Path(OUT_PATH).write_text(json.dumps(out, indent=1) + "\n")
-    print(json.dumps({"neutral": out["neutral"]}))
 
 
 if __name__ == "__main__":

@@ -14,7 +14,11 @@ the extra fields ground the claim:
   empirical speed limit; the headline as a fraction of it is the honest
   "distance to this model's own ceiling" number. The memory-bound evidence
   is empirical: batch-size saturation (B512=B256), remat measured slower,
-  ~25% MXU at the saturated batch.
+  ~25% MXU at the saturated batch (per-stage attribution: STAGES_r05.json).
+- the headline runs the framework's DEFAULT augmentation path
+  (``TrainingConfig().fast_augmentation``); ``alternate_augmentation``
+  measures the other path on the same warmed chip, and
+  ``MTBC_BENCH_FASTAUG=0/1`` forces either for A/B runs.
 - ``baseline``: the assumed A100 anchor (the reference publishes no
   throughput numbers) plus the MEASURED reference torch loop from
   ``bench_baseline_torch.py`` (committed in BASELINE_TORCH.json).
@@ -78,9 +82,17 @@ def main() -> None:
     tx = init_optimizer("Adam", 1e-4)
     from multi_task_breast_cancer_tpu.parallel.mesh import data_mesh
     mesh = data_mesh()
+    # The headline measures the framework's DEFAULT augmentation path (what
+    # `training_multitask` runs out of the box); the other path is measured
+    # as a secondary arm on the same warmed chip. MTBC_BENCH_FASTAUG=0/1
+    # overrides for A/B runs.
+    from multi_task_breast_cancer_tpu.config import TrainingConfig
+    fa_env = os.environ.get("MTBC_BENCH_FASTAUG")
+    fa_default = (TrainingConfig().fast_augmentation if fa_env is None
+                  else fa_env == "1")
     cfg = EngineConfig(task="multitask", n_classes=3, batch_size=batch,
                       alpha=0.35, inversely_weighted=True,
-                      compute_dtype="bfloat16")
+                      compute_dtype="bfloat16", fast_augmentation=fa_default)
     engine = Engine(model, tx, cfg, mesh=mesh)
     state = create_train_state(model, tx, jax.random.PRNGKey(0),
                                jnp.zeros((1, H, H, 1)))
@@ -105,7 +117,8 @@ def main() -> None:
             state, metrics = engine._train_epoch(
                 state, data["images"], data["masks"], data["cls_targets"],
                 data["labels_int"], jnp.asarray(perm),
-                jax.random.PRNGKey(50 + 2 * w + e))
+                jax.random.PRNGKey(50 + 2 * w + e), None,
+                data.get("aug_packed"))
         _ = float(metrics["loss"])
         rate = 2 * n / (time.perf_counter() - t0)
         ramp_windows = w + 1
@@ -124,7 +137,8 @@ def main() -> None:
         perm = plan_epoch_indices(n, batch, host_rng)
         state, metrics = engine._train_epoch(
             state, data["images"], data["masks"], data["cls_targets"],
-            data["labels_int"], jnp.asarray(perm), jax.random.PRNGKey(2 + e))
+            data["labels_int"], jnp.asarray(perm), jax.random.PRNGKey(2 + e),
+            None, data.get("aug_packed"))
     final_loss = float(metrics["loss"])  # forces materialisation of all work
     dt = time.perf_counter() - t0
     assert np.isfinite(final_loss)
@@ -160,44 +174,49 @@ def main() -> None:
         assert np.isfinite(loss)
         return total_imgs / arm_dt / n_devices
 
-    # opt-in fast path (training.fast_augmentation, PARITY D13): 3-shear
-    # Pallas augmentation — same flip/angle draws, rotation resampled per
-    # shear. Measured here on the SAME warmed chip, reported separately; the
-    # headline `value` stays the torchvision-parity default.
-    fast_block = {}
+    # The OTHER augmentation path (PARITY D13), measured on the SAME warmed
+    # chip and reported separately: if the headline ran the fast 3-shear
+    # Pallas path (the default since the reference-protocol quality evidence
+    # in FASTAUG_QUALITY_r05.json), this arm is the torchvision-bit-exact
+    # single-gather rotation (`training.fast_augmentation: false`), and vice
+    # versa. Both use identical flip/angle draws.
+    other_block = {}
     try:
-        fcfg = EngineConfig(task="multitask", n_classes=3, batch_size=batch,
+        ocfg = EngineConfig(task="multitask", n_classes=3, batch_size=batch,
                             alpha=0.35, inversely_weighted=True,
-                            compute_dtype="bfloat16", fast_augmentation=True)
-        fengine = Engine(model, tx, fcfg, mesh=mesh)
-        fdata = fengine.device_data(ds)
-        fstate = create_train_state(model, tx, jax.random.PRNGKey(0),
+                            compute_dtype="bfloat16",
+                            fast_augmentation=not fa_default)
+        oengine = Engine(model, tx, ocfg, mesh=mesh)
+        odata = oengine.device_data(ds)
+        ostate = create_train_state(model, tx, jax.random.PRNGKey(0),
                                     jnp.zeros((1, H, H, 1)))
         # compile + 1 warm epoch, then ramped measurement
         perm = plan_epoch_indices(n, batch, host_rng)
-        fstate, _ = fengine.train_epoch(fstate, fdata, perm, jax.random.PRNGKey(90))
-        f_box = {"state": fstate, "e": 0}
+        ostate, _ = oengine.train_epoch(ostate, odata, perm, jax.random.PRNGKey(90))
+        o_box = {"state": ostate, "e": 0}
 
-        def _fast_epoch():
+        def _other_epoch():
             perm = plan_epoch_indices(n, batch, host_rng)
-            f_box["e"] += 1
-            f_box["state"], fm = fengine._train_epoch(
-                f_box["state"], fdata["images"], fdata["masks"],
-                fdata["cls_targets"], fdata["labels_int"], jnp.asarray(perm),
-                jax.random.PRNGKey(91 + f_box["e"]), None,
-                fdata.get("aug_packed"))
-            return fm
+            o_box["e"] += 1
+            o_box["state"], om = oengine._train_epoch(
+                o_box["state"], odata["images"], odata["masks"],
+                odata["cls_targets"], odata["labels_int"], jnp.asarray(perm),
+                jax.random.PRNGKey(91 + o_box["e"]), None,
+                odata.get("aug_packed"))
+            return om
 
-        f_rate = arm_steady_rate(_fast_epoch)
-        fast_block = {
-            "imgs_per_sec_per_chip": round(f_rate, 2),
-            "speedup_vs_parity_aug": round(f_rate / imgs_per_sec_per_chip, 3),
-            "note": "opt-in training.fast_augmentation=true (3-shear Pallas "
-                    "rotation, PARITY D13); identical flip/angle draws, "
-                    "per-shear resampling",
+        o_rate = arm_steady_rate(_other_epoch)
+        other_block = {
+            "fast_augmentation": not fa_default,
+            "imgs_per_sec_per_chip": round(o_rate, 2),
+            "speedup_of_headline_vs_this": round(
+                imgs_per_sec_per_chip / o_rate, 3),
+            "note": "same step with training.fast_augmentation flipped "
+                    "(3-shear Pallas vs torchvision-bit-exact rotation; "
+                    "identical flip/angle draws, PARITY D13)",
         }
     except Exception as exc:  # keep the headline bench robust
-        fast_block = {"unavailable": str(exc)[:200]}
+        other_block = {"unavailable": str(exc)[:200]}
 
     # empirical no-augmentation ceiling: the same train step with transforms
     # off, on the same warmed chip. The headline value as a fraction of this
@@ -267,8 +286,8 @@ def main() -> None:
     try:
         compiled = engine._train_epoch.lower(
             state, data["images"], data["masks"], data["cls_targets"],
-            data["labels_int"], jnp.asarray(perm), jax.random.PRNGKey(9)
-        ).compile()
+            data["labels_int"], jnp.asarray(perm), jax.random.PRNGKey(9),
+            None, data.get("aug_packed")).compile()
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         # XLA's cost analysis counts a scan/while BODY exactly ONCE,
@@ -320,9 +339,13 @@ def main() -> None:
         # vs the ASSUMED A100 anchor above (not a measurement; see baseline)
         "vs_baseline": round(imgs_per_sec_per_chip
                              / ASSUMED_A100_PYTORCH_BASELINE_IMGS_PER_SEC, 3),
+        # which augmentation path the headline ran (the framework default,
+        # or the MTBC_BENCH_FASTAUG override)
+        "augmentation_path": ("fast_3shear_pallas" if fa_default
+                              else "exact_torchvision_parity"),
         "roofline": roofline,
         "baseline": baseline,
-        "fast_augmentation": fast_block,
+        "alternate_augmentation": other_block,
         "no_augmentation_ceiling": noaug_block,
         "inference": inf_block,
         "ramp_windows": ramp_windows,

@@ -77,15 +77,21 @@ class TrainingConfig:
     # inference every epoch, rewriting seg/feature PNGs + per-image CSV each
     # time (``training_segmentation.py:179-180``).
     per_epoch_test_artifacts: bool = False
-    # Opt-in 3-shear Pallas augmentation (PARITY D13): identical flip/angle
-    # draws, rotation resampled per shear instead of in one gather — measured
-    # ~8x faster augmentation (~+30% train throughput at 128²) on TPU v5e.
+    # 3-shear Pallas augmentation (PARITY D13): identical flip/angle draws,
+    # rotation resampled per shear instead of in one gather — measured ~8x
+    # faster augmentation (~+30% train throughput at 128²) on TPU v5e.
+    # DEFAULT ON since round 5: quality-neutral under the reference training
+    # protocol itself — every metric of every MT ablation row lands inside
+    # the exact-parity arm's own fold spread (FASTAUG_QUALITY_r05.json,
+    # epochs 200 / batch 2 / patience 50 / seed 1993). Set false to restore
+    # the torchvision-bit-exact single-gather rotation (the escape hatch for
+    # bit-level reference reproduction, e.g. the parity test suite).
     # Works with bfloat16 AND float32 compute, any channel count (augment
     # channels pack into int32 planes), any image dims (odd dims pad one
     # row/col: documented ≤1-px deviation), and composes with
     # training.spatial_partitions (augmentation runs on the data axis,
     # rows reshard over 'space' right after).
-    fast_augmentation: bool = False
+    fast_augmentation: bool = True
 
 
 @dataclass

@@ -56,12 +56,18 @@ class EngineConfig:
     p_vflip: float = 0.5
     max_angle: float = 360.0
     compute_dtype: str = "float32"  # 'bfloat16' casts activations for the MXU
-    # opt-in 3-shear Pallas augmentation (PARITY D13): same flip/angle draws,
+    # 3-shear Pallas augmentation (PARITY D13): same flip/angle draws,
     # rotation resampled per shear — measured 8x faster than the exact-parity
     # gather on TPU v5e. Any channel count (augment channels pack pairwise in
     # bf16, one int32 plane each in f32); any dims (non-square embeds
     # centered in a padded square canvas; odd dims zero-pad one row/col with
     # a documented <=1-px deviation, see ops/fast_augment.pack_channels).
+    # NOTE: the USER-FACING default (config.TrainingConfig.fast_augmentation,
+    # wired through by the driver) is True since round 5 (quality evidence:
+    # FASTAUG_QUALITY_r05.json). This engine-level default stays False so
+    # direct Engine constructions — the torch-parity trajectory tests, the
+    # golden-parity suite — keep torchvision-bit-exact semantics unless they
+    # opt in.
     fast_augmentation: bool = False
 
 

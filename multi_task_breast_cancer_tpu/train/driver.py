@@ -528,6 +528,23 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
         logging.info("Parallelism over %d devices (mesh axes %s, shape %s)",
                      mesh.devices.size, mesh.axis_names, mesh.devices.shape)
 
+    # fast_augmentation shard_maps the 3-shear kernel over the 'data' mesh
+    # axis, which needs batch_size % n_data == 0. Since the flag defaults to
+    # ON (round 5), a small batch on a wide mesh degrades GRACEFULLY here to
+    # the exact-parity gather with a warning (reference configs use batch 2;
+    # an 8-chip pod would otherwise hard-fail out of the box). Constructing
+    # the Engine directly keeps the strict ValueError contract.
+    fast_aug = cfg.training.fast_augmentation
+    n_data = mesh.shape.get("data", 1) if mesh is not None else 1
+    if fast_aug and n_data > 1 and cfg.data.batch_size % n_data:
+        logging.warning(
+            "fast_augmentation disabled for this run: batch_size (%d) does "
+            "not divide the data-mesh axis (%d devices) — falling back to "
+            "the exact-parity augmentation. Raise data.batch_size to a "
+            "multiple of %d to re-enable the fast path.",
+            cfg.data.batch_size, n_data, n_data)
+        fast_aug = False
+
     header = METRIC_HEADERS[(task, mode)]
 
     # one engine for all folds: identical model/optimizer/loss config, so the
@@ -546,7 +563,7 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
         p_hflip=cfg.data.transforms.horizontal_flip,
         p_vflip=cfg.data.transforms.vertical_flip,
         compute_dtype=cfg.training.compute_dtype,
-        fast_augmentation=cfg.training.fast_augmentation,
+        fast_augmentation=fast_aug,
     )
     engine = Engine(model, tx, ecfg, mesh)
 

@@ -163,6 +163,41 @@ def test_fast_augmentation_through_driver(tmp_path):
     assert np.isfinite(m["Train_loss"]).all()
 
 
+def test_default_on_indivisible_batch_degrades_to_exact(tmp_path, caplog):
+    """fast_augmentation defaults ON since round 5 — a batch_size that does
+    not divide the data-mesh axis (reference configs use batch 2; the CPU
+    test mesh has 8 devices) must degrade gracefully in the DRIVER to the
+    exact-parity gather with a warning, not hard-fail out of the box. The
+    Engine constructed directly keeps the strict ValueError contract
+    (test_fast_augmentation_mesh_batch_divisibility)."""
+    import logging
+    from pathlib import Path
+    from multi_task_breast_cancer_tpu.config import (
+        Config, DataConfig, ModelConfig, OptimizerConfig, TrainingConfig)
+    from multi_task_breast_cancer_tpu.data import synthetic
+    from multi_task_breast_cancer_tpu.train.driver import run_experiment
+
+    root = synthetic.make_preprocessed_busi(tmp_path / "busi", n_per_class=8,
+                                            size=32)
+    cfg = Config(
+        model=ModelConfig(architecture="BTSUNet", width=4,
+                          deep_supervision=False),
+        optimizer=OptimizerConfig(opt="Adam", lr=1e-3, scheduler="plateau"),
+        # defaults: fast_augmentation=True, data_parallel=True (8-dev mesh)
+        training=TrainingConfig(seed=1993, epochs=1, CV=2),
+        data=DataConfig(input_img=str(root), batch_size=4, oversampling=False),
+    )
+    assert cfg.training.fast_augmentation  # the round-5 default
+    with caplog.at_level(logging.WARNING):
+        run = Path(run_experiment(cfg, task="segmentation", mode="CV",
+                                  run_root=str(tmp_path / "runs")))
+    # the driver logs through init_log's file handler — assert on the run's
+    # execution.log (the user-visible record), not handler propagation
+    log_text = (run / "execution.log").read_text()
+    assert "fast_augmentation disabled" in log_text
+    assert (run / "fold_1" / "results_segmentation.csv").is_file()
+
+
 @pytest.mark.parametrize("w", [64, 128, 256])
 def test_kernel_widths_interpret_parity(w):
     """The kernel must handle lane widths past one vreg: W>128 gathers are

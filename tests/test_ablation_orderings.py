@@ -286,3 +286,50 @@ def test_r05_proposal_tops_dsc_average(ab5):
     """Reference: MT+PR+DO is the best DSC-average row of the whole table."""
     best = max(v["dsc_avg"] for v in ab5.values() if "dsc_avg" in v)
     assert ab5["MT+PR+DO"]["dsc_avg"] >= best - 0.03
+
+
+# ---------------------------------------------------------------------------
+# Fast-augmentation default decision (round 5): the committed quality
+# artifact must actually support the shipped default. FASTAUG_QUALITY_r05
+# re-trains every MT row of ABLATION_r05 with the 3-shear path under the
+# reference regime; the default flip is only justified while every metric of
+# every row stays inside the exact arm's fold spread. Regenerating the
+# artifact with a non-neutral result makes the gate fail until the default
+# is revisited — the decision can't silently outlive its evidence.
+# ---------------------------------------------------------------------------
+
+ART_FQ = Path(__file__).parent.parent / "FASTAUG_QUALITY_r05.json"
+
+fq = pytest.mark.skipif(not ART_FQ.exists() or not ART_R05.exists(),
+                        reason="FASTAUG_QUALITY_r05.json not generated yet")
+
+
+@fq
+def test_fastaug_quality_provenance_and_coverage():
+    data = json.loads(ART_FQ.read_text())
+    assert data["platform"] == "tpu"
+    assert "reference" in data["protocol"]  # the reference regime, not r03's
+    from multi_task_breast_cancer_tpu.data import synthetic
+    assert data["generator_fingerprint"] == \
+        synthetic.hard_calibration_fingerprint()
+    # same generator as the exact-parity baseline it deltas against
+    base = json.loads(ART_R05.read_text())["config"]
+    assert data["generator_fingerprint"] == base["generator_fingerprint"]
+    assert {"MT", "MT+PR", "MT+DO", "MT+PR+DO"} <= set(data["results"])
+
+
+@fq
+def test_fastaug_default_matches_quality_evidence():
+    """TrainingConfig.fast_augmentation defaults ON iff the artifact says
+    neutral — and 'neutral' must mean what it claims: every metric of every
+    row within the exact arm's fold spread."""
+    from multi_task_breast_cancer_tpu.config import TrainingConfig
+
+    data = json.loads(ART_FQ.read_text())
+    spread_ok = all(ok for row in data["results"].values()
+                    for ok in row["within_fold_spread"].values())
+    assert data["neutral"] == spread_ok
+    assert TrainingConfig().fast_augmentation == data["neutral"], (
+        "the fast_augmentation default no longer matches the committed "
+        "quality evidence — regenerate FASTAUG_QUALITY_r05.json or revisit "
+        "the default (PARITY round-5 changelog item 1)")

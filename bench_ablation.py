@@ -120,7 +120,15 @@ def _config(root: Path, oversampling: bool, architecture: str = "MTnnUNet"):
                         classification_criterion="Focal"),
         training=TrainingConfig(seed=SEED, epochs=EPOCHS, CV=CV,
                                 max_patience=50, alpha=0.35,
-                                compute_dtype="bfloat16"),
+                                compute_dtype="bfloat16",
+                                # PIN the exact-parity path: this harness is
+                                # the baseline the fast-aug quality bench
+                                # deltas against (bench_fastaug_quality.py
+                                # re-enables it explicitly). Without the pin,
+                                # the round-5 default flip would silently
+                                # turn the comparison into fast-vs-fast on
+                                # the next artifact regeneration.
+                                fast_augmentation=False),
         data=DataConfig(input_img=str(root), batch_size=BATCH,
                         oversampling=oversampling),
     )

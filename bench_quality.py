@@ -49,7 +49,12 @@ def run_one(root: Path, run_root: Path, dtype: str) -> dict:
                         classification_criterion="Focal"),
         training=TrainingConfig(seed=1993, epochs=EPOCHS, CV=CV,
                                 max_patience=200, alpha=0.35,
-                                compute_dtype=dtype),
+                                compute_dtype=dtype,
+                                # pin the exact-parity augmentation: the
+                                # committed QUALITY_r0N artifacts were
+                                # generated pre-flip; a regeneration must
+                                # stay comparable to them
+                                fast_augmentation=False),
         data=DataConfig(input_img=str(root), batch_size=BATCH,
                         oversampling=True),
     )

@@ -16,7 +16,6 @@ from __future__ import annotations
 import dataclasses
 import logging
 import os
-import shutil
 import sys
 import time
 from datetime import datetime
@@ -389,6 +388,8 @@ def _find_checkpoint(run_path: str, n: int, default: str) -> str:
 
 def run_experiment(cfg: Config, task: str, mode: str = "CV",
                    config_src: Optional[str] = None, run_root: str = "runs",
+                   # config_src is kept for CLI compatibility; the run dir
+                   # stores the RESOLVED config (see below), not a byte-copy
                    uclm_path: Optional[str] = None,
                    resume_dir: Optional[str] = None) -> str:
     """Run the full k-fold experiment; returns the run directory path.
@@ -494,12 +495,15 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
                          f"not match task={task!r} mode={mode!r} ({want!r}) — "
                          "resuming through a different entry point than the "
                          "original run")
-    if config_src and Path(config_src).exists():
-        if Path(config_src).resolve() != run_cfg_yaml.resolve():
-            shutil.copyfile(config_src, run_cfg_yaml)
-    elif not (resume_dir is not None and run_cfg_yaml.exists()):
-        # no source file: serialize the ACTUAL config for provenance (the
-        # resume mismatch guard above relies on this reflecting the run)
+    if not (resume_dir is not None and run_cfg_yaml.exists()):
+        # Serialize the RESOLVED config (every key explicit), not a byte-copy
+        # of the user's file: a user YAML that omits a key (reference configs
+        # omit all TPU additions) would otherwise re-interpret under a later
+        # version's defaults — e.g. the round-5 fast_augmentation flip would
+        # silently switch a pre-flip run's augmentation on --resume. The
+        # resume mismatch guard above relies on this file reflecting the
+        # values the run ACTUALLY used (reference contract: the config is
+        # preserved in the run dir, ``src/utils/miscellany.py`` copy).
         run_cfg_yaml.write_text(config_to_yaml(cfg))
     logging.info(pformat(dataclasses.asdict(cfg)))
 

@@ -88,8 +88,14 @@ def main() -> None:
     # overrides for A/B runs.
     from multi_task_breast_cancer_tpu.config import TrainingConfig
     fa_env = os.environ.get("MTBC_BENCH_FASTAUG")
-    fa_default = (TrainingConfig().fast_augmentation if fa_env is None
-                  else fa_env == "1")
+    if fa_env is None:
+        fa_default = TrainingConfig().fast_augmentation
+    elif fa_env.lower() in ("1", "true", "on", "yes"):
+        fa_default = True
+    elif fa_env.lower() in ("0", "false", "off", "no"):
+        fa_default = False
+    else:  # an unrecognized value must not silently invert an A/B run
+        raise SystemExit(f"MTBC_BENCH_FASTAUG={fa_env!r}: use 0 or 1")
     cfg = EngineConfig(task="multitask", n_classes=3, batch_size=batch,
                       alpha=0.35, inversely_weighted=True,
                       compute_dtype="bfloat16", fast_augmentation=fa_default)

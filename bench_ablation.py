@@ -44,8 +44,11 @@ import pandas as pd
 # Crash resilience (the grid is hours of TPU time): MTBC_ABLATION_TMP pins
 # the working directory; on re-run, completed trainings are picked up via
 # the driver's own crash-resume (completed folds skipped, interrupted fold
-# restarted from its checkpoint) and finished inference CSVs are re-read
-# instead of re-predicted. After every variant the full artifact-so-far is
+# restarted from its checkpoint) and finished inference folds — MT post-hoc
+# and ST combined alike — are re-read instead of re-predicted. A fold counts
+# as finished only via its ``.complete`` marker, touched strictly after its
+# CSVs are fully written, so a crash mid-write can never feed a torn CSV
+# into the artifact. After every variant the full artifact-so-far is
 # written to ``<out>.partial`` (also valid as MTBC_ABLATION_REUSE input).
 PROTOCOL = os.environ.get("MTBC_ABLATION_PROTOCOL", "harness")
 EPOCHS = 200 if PROTOCOL == "reference" else 80
@@ -98,12 +101,24 @@ def _run_or_resume(cfg, task: str, run_root: Path) -> Path:
                                run_root=str(run_root)))
 
 
+def _fold_inference_done(out_dir: Path) -> bool:
+    """A fold's inference is trusted as finished only when the ``.complete``
+    marker exists — it is touched strictly AFTER both CSVs are fully written,
+    so a crash mid-CSV-write can never be mistaken for a finished fold (a
+    torn file would otherwise parse into silently wrong artifact numbers)."""
+    return (out_dir / ".complete").is_file()
+
+
+def _mark_fold_done(out_dir: Path) -> None:
+    (out_dir / ".complete").touch()
+
+
 def _finished_inference(out_root: Path) -> list | None:
     """Fold metrics from an inference dir a previous (killed) run already
-    completed — all CV fold CSV pairs present — else None."""
+    completed — every CV fold carries its post-CSV ``.complete`` marker —
+    else None (partial dirs are re-predicted fold by fold)."""
     dirs = [out_root / f"fold_{n}" for n in range(CV)]
-    if all((d / "results_segmentation.csv").is_file()
-           and (d / "results_classification.csv").is_file() for d in dirs):
+    if all(_fold_inference_done(d) for d in dirs):
         return [_fold_metrics(d / "results_segmentation.csv",
                               d / "results_classification.csv") for d in dirs]
     return None
@@ -220,6 +235,11 @@ def _st_pr_inference(seg_cfg, seg_run: Path, cls_cfg, cls_run: Path,
             _fold_states(seg_cfg, seg_run, "segmentation")):
         _, cls_engine, cls_state = cls_states[n]
         test_ds = fold.test
+        out_dir = out_root / f"fold_{n}"
+        if _fold_inference_done(out_dir):  # finished by a killed prior run
+            rows.append(_fold_metrics(out_dir / "results_segmentation.csv",
+                                      out_dir / "results_classification.csv"))
+            continue
 
         heads = _seg_heads_np(seg_engine.predict(seg_state, test_ds.images))
         final = heads[-1] if isinstance(heads, list) else heads
@@ -227,7 +247,6 @@ def _st_pr_inference(seg_cfg, seg_run: Path, cls_cfg, cls_run: Path,
         logits = _cls_logits_np(cls_engine.predict(cls_state, test_ds.images))
         pred_class = np.argmax(logits, axis=-1)
 
-        out_dir = out_root / f"fold_{n}"
         out_dir.mkdir(parents=True, exist_ok=True)
         seg_rows, cls_rows = [], []
         for i in range(len(test_ds)):
@@ -247,6 +266,7 @@ def _st_pr_inference(seg_cfg, seg_run: Path, cls_cfg, cls_run: Path,
                                       index=False)
         pd.DataFrame(cls_rows).to_csv(out_dir / "results_classification.csv",
                                       index=False)
+        _mark_fold_done(out_dir)
         rows.append(_fold_metrics(out_dir / "results_segmentation.csv",
                                   out_dir / "results_classification.csv"))
     return rows
@@ -282,7 +302,8 @@ def _driver_fold_metrics(run_path: Path, task: str) -> list:
 
 def _posthoc_inference(cfg, run_path: Path, use_pr: bool, out_root: Path) -> list:
     """Re-run the driver's multitask inference from each fold's best
-    checkpoint with PR on/off; returns per-fold metric dicts."""
+    checkpoint with PR on/off; returns per-fold metric dicts. Folds a killed
+    prior run finished (``.complete`` marker) are re-read, not re-predicted."""
     import jax
     import jax.numpy as jnp
 
@@ -304,11 +325,15 @@ def _posthoc_inference(cfg, run_path: Path, use_pr: bool, out_root: Path) -> lis
 
     rows = []
     for n, fold in enumerate(folds):
+        out_dir = out_root / f"fold_{n}"
+        if _fold_inference_done(out_dir):  # finished by a killed prior run
+            rows.append(_fold_metrics(out_dir / "results_segmentation.csv",
+                                      out_dir / "results_classification.csv"))
+            continue
         ckpt = next((run_path / f"fold_{n}").glob("model_*"))
         state = create_train_state(model, tx, jax.random.PRNGKey(0),
                                    jnp.zeros((1,) + fold.test.images.shape[1:]))
         state = load_pretrained_model(state, str(ckpt))
-        out_dir = out_root / f"fold_{n}"
         for sub in ("segs", "features_map"):
             (out_dir / sub).mkdir(parents=True, exist_ok=True)
         I.inference_multitask_multiclass(
@@ -316,6 +341,7 @@ def _posthoc_inference(cfg, run_path: Path, use_pr: bool, out_root: Path) -> lis
             threshold=cfg.training.threshold_postprocessing,
             overlap_seg_based_on_class=use_pr,
             overlap_class_based_on_seg=use_pr)
+        _mark_fold_done(out_dir)
         rows.append(_fold_metrics(out_dir / "results_segmentation.csv",
                                   out_dir / "results_classification.csv"))
     return rows

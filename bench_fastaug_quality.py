@@ -66,6 +66,19 @@ def main() -> None:
         run_path = BA._run_or_resume(cfg, "multitask",
                                      tmp / f"runs_fa{int(oversampling)}")
         walls[f"train_mt{do_tag or '_base'}"] = round(time.perf_counter() - t0, 1)
+        # This artifact is the EVIDENCE behind the fast-aug default — it is
+        # vacuous if the fast path never ran. The driver degrades to the
+        # exact gather when batch_size doesn't divide the data-mesh axis
+        # (e.g. batch 2 on a v5e-8), logging a warning; fail loudly instead
+        # of measuring exact-vs-exact and reporting "neutral".
+        log_text = (Path(run_path) / "execution.log").read_text()
+        if "fast_augmentation disabled" in log_text:
+            raise RuntimeError(
+                "the driver degraded fast_augmentation to the exact path "
+                f"(batch {BA.BATCH} does not divide the data-mesh axis) — "
+                "this run would compare exact-vs-exact; re-run on a single "
+                "chip (the protocol batch is fixed at 2) or disable "
+                "data_parallel for the quality run")
         for use_pr, pr_tag in ((False, ""), (True, "+PR")):
             name = "MT" + pr_tag + do_tag
             rows = BA._posthoc_inference(

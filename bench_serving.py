@@ -245,7 +245,8 @@ def main() -> None:
             t0 = time.perf_counter()
             req = urllib.request.Request(
                 base + "/predict_batch", data=batch_raw_payload,
-                headers={"Content-Type": "application/octet-stream"},
+                headers={"Content-Type": "application/octet-stream",
+                         "X-Image-Count": str(BUCKET)},
                 method="POST")
             resp = json.loads(urllib.request.urlopen(req, timeout=600).read())
             assert resp["count"] == BUCKET

@@ -32,8 +32,8 @@ to force materialization. Run on TPU: ``python bench_stages.py`` →
 
 from __future__ import annotations
 
-import functools
 import json
+import os
 import time
 from pathlib import Path
 
@@ -52,8 +52,6 @@ from multi_task_breast_cancer_tpu.train.loop import (
     Engine, EngineConfig, plan_epoch_indices)
 from multi_task_breast_cancer_tpu.train.optim import init_optimizer
 from multi_task_breast_cancer_tpu.train.state import create_train_state
-
-import os
 
 H = int(os.environ.get("MTBC_STAGES_SIZE", 128))
 B = int(os.environ.get("MTBC_STAGES_BATCH", 256))

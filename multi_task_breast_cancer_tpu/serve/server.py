@@ -338,7 +338,7 @@ def _decode_png(data: bytes) -> np.ndarray:
 _NPY_MAGIC = b"\x93NUMPY"
 
 
-def _decode_raw(body: bytes, size: int) -> np.ndarray:
+def _decode_raw(body: bytes, size: int, count: int | None) -> np.ndarray:
     """``application/octet-stream`` body → grayscale uint8 image plane(s).
 
     Two accepted layouts, neither touching cv2/base64 (PNG decode on this
@@ -348,6 +348,13 @@ def _decode_raw(body: bytes, size: int) -> np.ndarray:
     - a ``.npy`` array (magic-sniffed): uint8, shape ``(H, W)`` or
       ``(N, H, W)`` — resized server-side if H/W differ from the model;
     - raw bytes: ``N·size²`` uint8 pixels, row-major ``size×size`` planes.
+
+    ``count`` is the client's ``X-Image-Count`` header. Bare-raw bodies are
+    shapeless, so byte length alone cannot distinguish N model-sized planes
+    from one wrong-resolution image (a single 256² scan posted to a 128
+    model is byte-for-byte 4 valid planes — confident garbage with 200 OK).
+    Bare raw therefore requires the header whenever it would decode to more
+    than one plane; npy bodies carry their own shape and only cross-check.
     """
     if body[:6] == _NPY_MAGIC:
         import io
@@ -359,13 +366,38 @@ def _decode_raw(body: bytes, size: int) -> np.ndarray:
         if arr.ndim != 3:
             raise ValueError(f"npy payload must be (H, W) or (N, H, W), "
                              f"got shape {arr.shape}")
+        if count is not None and arr.shape[0] != count:
+            raise ValueError(f"X-Image-Count: {count} but npy payload holds "
+                             f"{arr.shape[0]} image(s)")
         return arr
     n, rem = divmod(len(body), size * size)
     if rem or n == 0:
         raise ValueError(
             f"octet-stream body of {len(body)} B is neither .npy nor a "
             f"whole number of raw {size}x{size} uint8 planes")
+    if count is None and n > 1:
+        raise ValueError(
+            f"bare-raw body decodes to {n} {size}x{size} planes but no "
+            f"X-Image-Count header asserts that count — a single image at "
+            f"the wrong resolution is indistinguishable from {n} planes; "
+            f"send X-Image-Count: {n}, or an .npy body (self-describing)")
+    if count is not None and n != count:
+        raise ValueError(f"X-Image-Count: {count} but the body holds {n} "
+                         f"raw {size}x{size} plane(s)")
     return np.frombuffer(body, np.uint8).reshape(n, size, size)
+
+
+def _declared_count(handler: BaseHTTPRequestHandler) -> int | None:
+    raw = handler.headers.get("X-Image-Count")
+    if raw is None:
+        return None
+    try:
+        count = int(raw)
+    except ValueError:
+        count = 0
+    if count <= 0:
+        raise ValueError(f"X-Image-Count: {raw!r} is not a positive integer")
+    return count
 
 
 def _content_type(handler: BaseHTTPRequestHandler) -> str:
@@ -376,7 +408,7 @@ def _decode_body(handler: BaseHTTPRequestHandler, size: int) -> np.ndarray:
     body = _read_body(handler)
     ctype = _content_type(handler)
     if ctype == "application/octet-stream":
-        planes = _decode_raw(body, size)
+        planes = _decode_raw(body, size, _declared_count(handler))
         if planes.shape[0] != 1:
             raise ValueError(f"/predict takes ONE image; got {planes.shape[0]}"
                              " planes (use /predict_batch)")
@@ -395,7 +427,7 @@ def _decode_batch_body(handler: BaseHTTPRequestHandler, size: int) -> list:
     or ``application/octet-stream`` uint8 planes (see :func:`_decode_raw`)."""
     body = _read_body(handler)
     if _content_type(handler) == "application/octet-stream":
-        planes = _decode_raw(body, size)
+        planes = _decode_raw(body, size, _declared_count(handler))
         if planes.shape[0] > MAX_BATCH_IMAGES:
             raise ValueError(f"batch of {planes.shape[0]} exceeds "
                              f"{MAX_BATCH_IMAGES}")

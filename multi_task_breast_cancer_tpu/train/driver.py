@@ -436,6 +436,19 @@ def run_experiment(cfg: Config, task: str, mode: str = "CV",
         # under the original run's critical settings — fail fast on mismatch
         from multi_task_breast_cancer_tpu.config import load_config
         saved = load_config(run_cfg_yaml)
+        # Default-drift guard for PRE-round-5 run dirs: their config.yaml is
+        # a byte-copy of the user's (possibly sparse) YAML, so an absent
+        # fast_augmentation key would now parse as the NEW default (True)
+        # even though the run trained the exact path under the old default
+        # (False). Re-interpret absence as the value that was in force when
+        # such a file could still be written — the mismatch guard below then
+        # fails fast (telling the user to set the key explicitly) instead of
+        # silently switching augmentation semantics mid-run. New run dirs
+        # always store the resolved config, so the key is always present.
+        import yaml as _yaml
+        _raw = _yaml.safe_load(run_cfg_yaml.read_text()) or {}
+        if "fast_augmentation" not in (_raw.get("training") or {}):
+            saved.training.fast_augmentation = False
         critical = [
             ("training.seed", cfg.training.seed, saved.training.seed),
             ("training.CV", cfg.training.CV, saved.training.CV),

@@ -179,3 +179,41 @@ def test_resume_rejects_changed_optimizer_and_wrong_mode(tmp_path):
     with pytest.raises(SystemExit, match="entry point"):
         run_experiment(cfg, task="segmentation", mode="CV_PROD",
                        resume_dir=str(run_dir))
+
+
+def test_resume_pre_round5_yaml_missing_fastaug_key(tmp_path):
+    """Run dirs written before round 5 byte-copied the user's (possibly
+    sparse) YAML, so ``training.fast_augmentation`` may be absent. The run
+    trained under the OLD default (exact path, False); under the NEW default
+    (True) a naive re-parse would read absence as True, the mismatch guard
+    would compare True==True, and the remaining folds would silently train
+    with different augmentation rounding. The driver must re-interpret
+    absence as False — failing fast under the new default, and matching an
+    explicit ``fast_augmentation: false`` resume config."""
+    import yaml
+
+    from multi_task_breast_cancer_tpu.config import config_to_yaml
+
+    root = synthetic.make_preprocessed_busi(tmp_path / "busi", n_per_class=4,
+                                            size=32)
+    cfg = _config(root, "segmentation")
+    doc = yaml.safe_load(config_to_yaml(cfg))
+    del doc["training"]["fast_augmentation"]  # pre-round-5 sparse file
+    run_dir = tmp_path / "20260101_000000_BTSUNet_4_batch_4_x"
+    run_dir.mkdir()
+    (run_dir / "config.yaml").write_text(yaml.safe_dump(doc))
+
+    cfg.training.fast_augmentation = True  # the round-5 default
+    with pytest.raises(SystemExit, match="fast_augmentation"):
+        run_experiment(cfg, task="segmentation", mode="CV",
+                       resume_dir=str(run_dir))
+
+    # absence == False: with the old value pinned, the augmentation check
+    # passes — prove it by tripping a DIFFERENT critical key (seed) and
+    # asserting fast_augmentation is no longer among the mismatches
+    cfg.training.fast_augmentation = False
+    cfg.training.seed = 7
+    with pytest.raises(SystemExit, match="seed") as exc:
+        run_experiment(cfg, task="segmentation", mode="CV",
+                       resume_dir=str(run_dir))
+    assert "fast_augmentation" not in str(exc.value)

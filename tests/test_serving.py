@@ -208,10 +208,12 @@ def test_http_raw_octet_stream_paths(mt_artifact):
     with InferenceServer(backend, max_batch=4, batch_wait_ms=1.0) as srv:
         base = f"http://127.0.0.1:{srv.port}"
 
-        def post(path, body, ctype, expect_error=None):
+        def post(path, body, ctype, expect_error=None, count=None):
+            headers = {"Content-Type": ctype}
+            if count is not None:
+                headers["X-Image-Count"] = str(count)
             req = urllib.request.Request(base + path, data=body,
-                                         headers={"Content-Type": ctype},
-                                         method="POST")
+                                         headers=headers, method="POST")
             if expect_error is None:
                 return json.loads(urllib.request.urlopen(req).read())
             with pytest.raises(urllib.error.HTTPError) as exc:
@@ -225,25 +227,41 @@ def test_http_raw_octet_stream_paths(mt_artifact):
             assert got["probs"] == want["probs"]
             assert got["predicted_class"] == want["predicted_class"]
 
-        # batch forms: npy (N, H, W) and N raw size² planes
+        # batch forms: npy (N, H, W) is self-describing; N bare raw size²
+        # planes must assert their count via X-Image-Count (byte length
+        # alone cannot tell N planes from one wrong-resolution image)
         b64 = [base64.b64encode(cv2.imencode(".png", g)[1].tobytes()).decode()
                for g in raw]
         want_b = post("/predict_batch",
                       json.dumps({"images_b64": b64}).encode(),
                       "application/json")
-        for body in (npy_bytes(raw), raw.tobytes()):
-            got_b = post("/predict_batch", body, "application/octet-stream")
+        for body, n in ((npy_bytes(raw), None), (raw.tobytes(), 3)):
+            got_b = post("/predict_batch", body, "application/octet-stream",
+                         count=n)
             assert got_b["count"] == 3
             for g, w in zip(got_b["predictions"], want_b["predictions"]):
                 assert g["probs"] == w["probs"]
 
         # malformed raw payloads → 400, server stays alive
         post("/predict", raw.tobytes(), "application/octet-stream",
-             expect_error=400)  # 3 planes to the single-image endpoint
+             count=3, expect_error=400)  # 3 planes to single-image endpoint
         post("/predict", raw[0].tobytes()[:-7], "application/octet-stream",
              expect_error=400)  # not a whole number of planes
         post("/predict_batch", npy_bytes(raw.astype(np.float32)),
              "application/octet-stream", expect_error=400)  # wrong dtype
+        # shapeless multi-plane bodies: a wrong-resolution image must never
+        # be silently strip-split into N "valid" planes
+        big = (rng.random((2 * SIZE, 2 * SIZE)) * 255).astype(np.uint8)
+        post("/predict", big.tobytes(), "application/octet-stream",
+             expect_error=400)  # one 2size² image = 4 planes, no count header
+        post("/predict_batch", raw.tobytes(), "application/octet-stream",
+             expect_error=400)  # 3 bare planes, count not asserted
+        post("/predict_batch", raw.tobytes(), "application/octet-stream",
+             count=4, expect_error=400)  # count contradicts the byte length
+        post("/predict_batch", npy_bytes(raw), "application/octet-stream",
+             count=7, expect_error=400)  # count contradicts the npy shape
+        post("/predict_batch", raw.tobytes(), "application/octet-stream",
+             count="many", expect_error=400)  # unparseable count
         assert json.loads(urllib.request.urlopen(base + "/healthz").read())[
             "status"] == "ok"
 

@@ -333,3 +333,30 @@ def test_fastaug_default_matches_quality_evidence():
         "the fast_augmentation default no longer matches the committed "
         "quality evidence — regenerate FASTAUG_QUALITY_r05.json or revisit "
         "the default (PARITY round-5 changelog item 1)")
+
+
+def test_finished_inference_requires_complete_marker(tmp_path):
+    """Crash-resume integrity (round-5 review sweep): a fold inference dir
+    counts as finished only via its ``.complete`` marker — bare CSV
+    existence (e.g. a file torn by a mid-write kill) must force
+    re-prediction instead of silently feeding a truncated CSV into the
+    committed artifact."""
+    import bench_ablation as BA
+
+    for n in range(BA.CV):
+        d = tmp_path / f"fold_{n}"
+        d.mkdir()
+        (d / "results_segmentation.csv").write_text(
+            "patient_id,class,DICE\n1,benign,0.5\n")
+        (d / "results_classification.csv").write_text(
+            "patient_id,ground_truth,predicted_label\n1,0,0\n")
+    # all CSVs present but unmarked (the pre-fix trust criterion) → unfinished
+    assert BA._finished_inference(tmp_path) is None
+    for n in range(BA.CV):
+        BA._mark_fold_done(tmp_path / f"fold_{n}")
+    rows = BA._finished_inference(tmp_path)
+    assert rows is not None and len(rows) == BA.CV
+    assert rows[0]["dsc_benign"] == 0.5
+    # one missing marker (killed mid-fold) → the whole dir is re-examined
+    (tmp_path / "fold_0" / ".complete").unlink()
+    assert BA._finished_inference(tmp_path) is None

@@ -50,9 +50,63 @@ def conv1x1(features: int, *, use_bias: bool = True, name: Optional[str] = None,
                    kernel_init=kaiming_normal, name=name, dtype=dtype)
 
 
+def _deconv_lowering() -> str:
+    """How k==stride ConvTranspose lowers: ``xla`` (lax.conv_transpose) or
+    ``d2s`` (one matmul + depth-to-space reshape; also ``d2s_up`` /
+    ``d2s_heads`` to scope it). Read at trace time. Measured on v5e
+    (PARITY.md round-5 changelog): d2s is ~11% SLOWER end-to-end — the
+    explicit depth-to-space transpose materializes the full-res tensor that
+    conv_transpose writes directly — so ``xla`` stays the default."""
+    import os
+    return os.environ.get("MTBC_DECONV", "xla")
+
+
+def d2s_upsample(x: jnp.ndarray, w: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k× upsample ``conv_transpose(x, w, strides=k, VALID)`` computed as one
+    matmul + depth-to-space.
+
+    For kernel==stride the transposed conv has no tap overlap: each input
+    pixel alone produces its k×k output block,
+    ``y[n, k·i+a, k·j+b, o] = Σ_c x[n,i,j,c] · w[k-1-a, k-1-b, c, o]``
+    (lax.conv_transpose flips spatial taps; verified bit-identical on CPU).
+    The matmul form is MXU-native — (B·H·W, C) @ (C, k²·O) — instead of a
+    conv over a zero-dilated input, and XLA fuses the depth-to-space
+    transpose into the consumer. Same parameters, same function, same
+    gradients (autodiff through reverse + dot)."""
+    b, h, ww, c = x.shape
+    o = w.shape[-1]
+    wm = w[::-1, ::-1].transpose(2, 0, 1, 3).reshape(c, k * k * o)
+    z = jnp.dot(x.reshape(-1, c), wm).reshape(b, h, ww, k, k, o)
+    return z.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * k, ww * k, o)
+
+
+class DeconvD2S(nn.Module):
+    """Drop-in ``nn.ConvTranspose(k, strides=k, VALID)`` twin computed via
+    :func:`d2s_upsample`. Identical param tree ('kernel' (k,k,I,O) HWIO +
+    'bias'), so checkpoints and the torch importer are lowering-agnostic."""
+
+    features: int
+    kernel: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, o = self.kernel, self.features
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, x.shape[-1], o))
+        b = self.param("bias", nn.initializers.zeros, (o,))
+        x, w, b = nn.dtypes.promote_dtype(x, w, b, dtype=self.dtype)
+        return d2s_upsample(x, w, k) + b
+
+
 def deconv(features: int, kernel: int, *, name: Optional[str] = None,
-           dtype: Optional[Dtype] = None) -> nn.ConvTranspose:
-    """ConvTranspose with kernel==stride (exact k× upsampling, no overlap)."""
+           dtype: Optional[Dtype] = None):
+    """ConvTranspose with kernel==stride (exact k× upsampling, no overlap).
+
+    ``MTBC_DECONV=d2s`` switches the lowering to matmul+depth-to-space
+    (:class:`DeconvD2S`) — same params, same math, different HLO."""
+    if _deconv_lowering() in ("d2s", "d2s_up"):
+        return DeconvD2S(features, kernel, name=name, dtype=dtype)
     return nn.ConvTranspose(features, (kernel, kernel), strides=(kernel, kernel),
                             padding="VALID", use_bias=True, name=name, dtype=dtype)
 
@@ -189,6 +243,9 @@ class DeconvHead(nn.Module):
         w1m = w1[0, 0]  # (c, r)
         fused_w = jnp.einsum("hwic,cr->hwir", wd, w1m)
         fused_b = jnp.einsum("c,cr->r", bd, w1m) + b1
+        if _deconv_lowering() in ("d2s", "d2s_heads"):
+            return d2s_upsample(x, fused_w.astype(x.dtype), k) \
+                + fused_b.astype(x.dtype)
         y = jax.lax.conv_transpose(
             x, fused_w.astype(x.dtype), strides=(k, k), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))

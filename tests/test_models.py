@@ -337,3 +337,39 @@ def test_param_count_monai_family_frozen_totals():
                                        deep_supervision=True)) == 2_410_180
     assert _n_params(MTUNetPlusPlus(regions=1, n_classes=3)) == 14_927_455
     assert _n_params(UNetPlusPlusClassifier(n_classes=3)) == 13_741_131
+
+
+def test_deconv_d2s_lowering_parity(monkeypatch):
+    """MTBC_DECONV=d2s (matmul + depth-to-space, models/blocks.py) is a pure
+    lowering switch: identical param tree (same names, shapes, init bits —
+    checkpoints and the torch importer are lowering-agnostic) and the same
+    function to float ulp. Measured ~11% slower end-to-end on v5e (PARITY.md
+    round-5 changelog), so it is a documented escape hatch, never a default."""
+    from multi_task_breast_cancer_tpu.models.nnunet import NNUNet2021
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 1),
+                    jnp.float32)
+
+    def build(lowering):
+        monkeypatch.setenv("MTBC_DECONV", lowering)
+        model = NNUNet2021(regions=1, widths=(4, 8, 8, 8, 8))
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        return model, params
+
+    _, params_xla = build("xla")
+    model_d2s, params_d2s = build("d2s")
+
+    leaves_x = jax.tree_util.tree_leaves(params_xla)
+    leaves_d = jax.tree_util.tree_leaves(params_d2s)
+    assert jax.tree_util.tree_structure(params_xla) \
+        == jax.tree_util.tree_structure(params_d2s)
+    assert all(np.array_equal(a, b) for a, b in zip(leaves_x, leaves_d))
+
+    monkeypatch.setenv("MTBC_DECONV", "xla")
+    out_xla = NNUNet2021(regions=1, widths=(4, 8, 8, 8, 8)).apply(
+        {"params": params_xla}, x)
+    monkeypatch.setenv("MTBC_DECONV", "d2s")
+    out_d2s = model_d2s.apply({"params": params_xla}, x)
+    for a, b in zip(out_xla, out_d2s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)

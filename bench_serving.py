@@ -107,7 +107,9 @@ def main() -> None:
     exported_dev = load_exported(art_dev)
 
     rng = np.random.default_rng(0)
-    images = (rng.random((BUCKET, SIZE, SIZE, 1)) * 255).astype(np.float32)
+    # uint8 on the host→device link (round 5): prepare_image ships the raw
+    # plane and every backend casts on-device — 1 byte/px up instead of 4
+    images = (rng.random((BUCKET, SIZE, SIZE, 1)) * 255).astype(np.uint8)
     offline = _offline_throughput(exported, images)
     # artifact-path data parallelism (round 4): batches shard across every
     # local device with per-device weight copies; compare against the
@@ -129,12 +131,22 @@ def main() -> None:
                 "hardware speedup; on real chips the per-device programs "
                 "run concurrently")
     # device-postprocessed artifact: uint8 mask + probs + counts come back
-    # instead of every f32 deep-supervision head — same warmed device
+    # instead of every f32 deep-supervision head — same warmed device.
+    # Since round 5 the binary mask additionally rides the device→host link
+    # bit-PACKED (1 bit/px, unpacked on the host; load_exported default);
+    # the r04/early-r05 configuration (f32 upload + unpacked mask) is kept
+    # as a same-chip comparison arm.
     offline_dev = _offline_throughput(exported_dev, images)
+    unpacked = load_exported(art_dev, packed_transfer=False)
+    offline_dev_unpacked = _offline_throughput(
+        unpacked, images.astype(np.float32))
     bytes_raw = sum(a.nbytes for a in
                     jax.tree_util.tree_leaves(exported.predict(images)))
     bytes_dev = sum(a.nbytes for a in
                     jax.tree_util.tree_leaves(exported_dev.predict(images)))
+    # fetched bytes with packing: the (B,H,W) uint8 mask leaf crosses as
+    # (B,H,W//8); probs/counts are unchanged
+    bytes_dev_packed = bytes_dev - BUCKET * SIZE * SIZE * 7 // 8
 
     raw = (rng.random((SIZE, SIZE)) * 255).astype(np.uint8)
     ok, png = cv2.imencode(".png", raw)
@@ -262,8 +274,12 @@ def main() -> None:
         "arch": ARCH, "size": SIZE, "bucket": BUCKET,
         "offline_imgs_s": round(offline, 1),
         "offline_device_postprocess_imgs_s": round(offline_dev, 1),
+        "offline_device_postprocess_unpacked_f32in_imgs_s": round(
+            offline_dev_unpacked, 1),
+        "upload_bytes_per_img": SIZE * SIZE,
         "transfer_bytes_per_img_raw": bytes_raw // BUCKET,
-        "transfer_bytes_per_img_device_postprocess": bytes_dev // BUCKET,
+        "transfer_bytes_per_img_device_postprocess": bytes_dev_packed // BUCKET,
+        "transfer_bytes_per_img_device_postprocess_unpacked": bytes_dev // BUCKET,
         "online_artifact": "device_postprocess",
         "online_p50_ms": round(p50, 2),
         "online_p95_ms": round(p95, 2),

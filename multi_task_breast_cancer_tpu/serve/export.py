@@ -192,6 +192,16 @@ def export_inference(cfg, task: str, checkpoint: str, out_dir: str | Path,
     return out_dir
 
 
+@jax.jit
+def _pack_mask_bits(mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W) uint8 {0,1} → (B, H, W//8) uint8, np.unpackbits-compatible
+    (big bit order): 8× fewer bytes for the device→host mask fetch."""
+    b, h, w = mask.shape
+    bits = mask.reshape(b, h, w // 8, 8).astype(jnp.int32)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    return jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)
+
+
 class ExportedModel:
     """A loaded serving artifact: bucketed, padded, chunked batch inference.
 
@@ -217,9 +227,25 @@ class ExportedModel:
     lazily on first use) and runs the per-shard bucket program; dispatches
     are issued back-to-back (async) and fetched together, so wall-clock is
     one shard, not the sum. The deployable-artifact path thereby scales with
-    chips exactly like the live ``CheckpointBackend``."""
+    chips exactly like the live ``CheckpointBackend``.
 
-    def __init__(self, path: str | Path, data_parallel: bool = True):
+    **Byte-packing on the wire** (round 5 — the link, not the forward, is
+    the measured bound, ``SERVING_r05.json``):
+
+    - uint8 inputs ride the host→device link as-is and cast to f32 ON the
+      device (4× fewer upload bytes; the exported program's f32 signature
+      is untouched). Raw PNG intensities are exactly representable, so the
+      result is bit-identical to sending f32.
+    - with ``packed_transfer`` (default on), a device-postprocessed
+      artifact's binary tumor mask is bit-packed to 1 bit/px on the device
+      (one tiny jitted dot per bucket shape, np.unpackbits bit order) and
+      unpacked on the host after the fetch — 8× fewer download bytes for
+      the dominant leaf, same ``predict`` output contract to the byte.
+      Semantic label maps (multi-valued) and raw-logit artifacts pass
+      through unchanged."""
+
+    def __init__(self, path: str | Path, data_parallel: bool = True,
+                 packed_transfer: bool = True):
         self.path = Path(path)
         self.manifest = json.loads((self.path / MANIFEST).read_text())
         with np.load(self.path / WEIGHTS) as z:
@@ -251,6 +277,8 @@ class ExportedModel:
         self._var_copies: Dict[Any, Any] = {self._devices[0]: self.variables}
         self.buckets = sorted(self.manifest["buckets"])
         self._fns: Dict[int, Any] = {}
+        self._packed = bool(packed_transfer
+                            and self.manifest.get("device_postprocess", False))
 
     def _fn(self, bucket: int):
         if bucket not in self._fns:
@@ -268,18 +296,28 @@ class ExportedModel:
 
         Host-pads only to the next power of two and pads the remaining rows
         on the device (broadcast of the last row) so the host→device upload
-        moves O(next_pow2(n)) rows, not the full bucket."""
+        moves O(next_pow2(n)) rows, not the full bucket. uint8 inputs cross
+        the link as uint8 and cast to the exported f32 signature on-device."""
         n = images.shape[0]
         device = device or self._devices[0]
         p = min(bucket, _next_pow2(n))
         if n < p:
             pad = np.repeat(images[-1:], p - n, axis=0)
             images = np.concatenate([images, pad], axis=0)
-        x = jax.device_put(images.astype(np.float32), device)
+        if images.dtype != np.uint8:
+            images = images.astype(np.float32)
+        x = jax.device_put(images, device)
         if p < bucket:
             x = jnp.concatenate(
                 [x, jnp.broadcast_to(x[-1:], (bucket - p,) + x.shape[1:])])
-        return self._fn(bucket)(self._vars_on(device), x), n
+        if x.dtype != jnp.float32:
+            x = x.astype(jnp.float32)
+        out = self._fn(bucket)(self._vars_on(device), x)
+        if self._packed and isinstance(out, dict) and "mask" in out \
+                and "tumor_pixels" in out and out["mask"].shape[-1] % 8 == 0:
+            out = dict(out)
+            out["mask_packed"] = _pack_mask_bits(out.pop("mask"))
+        return out, n
 
     @staticmethod
     def _fetch(dispatched):
@@ -294,9 +332,14 @@ class ExportedModel:
         outs = [jax.tree_util.tree_map(lambda a, m=n: _leaf(a, m), out)
                 for out, n in dispatched]
         if len(outs) == 1:
-            return outs[0]
-        return jax.tree_util.tree_map(
-            lambda *parts: np.concatenate(parts, axis=0), *outs)
+            merged = outs[0]
+        else:
+            merged = jax.tree_util.tree_map(
+                lambda *parts: np.concatenate(parts, axis=0), *outs)
+        if isinstance(merged, dict) and "mask_packed" in merged:
+            merged = dict(merged)
+            merged["mask"] = np.unpackbits(merged.pop("mask_packed"), axis=-1)
+        return merged
 
     def _fit_bucket(self, size: int) -> int:
         """Smallest compiled bucket that holds ``size`` images — the single
@@ -349,5 +392,7 @@ class ExportedModel:
             for part in (images[i:i + top] for i in range(0, n, top))])
 
 
-def load_exported(path: str | Path, data_parallel: bool = True) -> ExportedModel:
-    return ExportedModel(path, data_parallel=data_parallel)
+def load_exported(path: str | Path, data_parallel: bool = True,
+                  packed_transfer: bool = True) -> ExportedModel:
+    return ExportedModel(path, data_parallel=data_parallel,
+                         packed_transfer=packed_transfer)

@@ -50,19 +50,25 @@ from multi_task_breast_cancer_tpu.serve.post import postprocess
 
 def prepare_image(gray: np.ndarray, size: int, augmentations: Dict[str, bool]
                   ) -> np.ndarray:
-    """Raw grayscale uint8 → the (H, W, C) float stack the model was trained
+    """Raw grayscale uint8 → the (H, W, C) channel stack the model was trained
     on: nearest-resize + config-enabled augment channels (same path as
-    training preprocessing / the ``predict`` CLI)."""
+    training preprocessing / the ``predict`` CLI).
+
+    With no augment channels the stack IS the uint8 plane, and it stays
+    uint8: every backend casts on the device, so the host→device link moves
+    1 byte/px instead of 4 (values 0–255 are exactly representable — the
+    result is bit-identical to sending f32). Augment channels are genuinely
+    fractional, so that stack remains f32."""
     from multi_task_breast_cancer_tpu import native
     from multi_task_breast_cancer_tpu.ops.image_ops import build_augment_channels
 
     if gray.shape != (size, size):
         gray = native.nearest_resize(gray, size, size)
-    chan = gray.astype(np.float32)[..., None]
-    if any(augmentations.values()):
-        chan = np.concatenate([chan, build_augment_channels(gray, augmentations)],
-                              axis=-1)
-    return chan
+    if not any(augmentations.values()):
+        return gray[..., None]
+    return np.concatenate([gray.astype(np.float32)[..., None],
+                           build_augment_channels(gray, augmentations)],
+                          axis=-1)
 
 
 class CheckpointBackend:

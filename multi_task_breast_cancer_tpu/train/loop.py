@@ -167,6 +167,10 @@ class Engine:
 
     def _apply(self, params, batch_stats, images, *, train: bool, rng=None):
         x = images
+        if x.dtype == jnp.uint8:
+            # serving path: uint8 PNG intensities cross the host→device link
+            # as 1 byte/px and cast here (exactly representable either way)
+            x = x.astype(self._compute_dt)
         if self.cfg.compute_dtype == "bfloat16":
             # true mixed precision: bf16 params + activations on the MXU;
             # master params stay f32 in the optimizer (normalisation layers

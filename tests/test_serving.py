@@ -286,9 +286,11 @@ def test_prepare_image_matches_training_stack():
     rng = np.random.default_rng(4)
     raw = (rng.random((50, 40)) * 255).astype(np.uint8)
     out = prepare_image(raw, SIZE, {})
-    assert out.shape == (SIZE, SIZE, 1) and out.dtype == np.float32
+    # no augment channels → the plane stays uint8 (1 byte/px on the
+    # host→device link; backends cast on-device, bit-identical to f32)
+    assert out.shape == (SIZE, SIZE, 1) and out.dtype == np.uint8
     out2 = prepare_image(raw, SIZE, {"SOBEL": True})
-    assert out2.shape == (SIZE, SIZE, 2)
+    assert out2.shape == (SIZE, SIZE, 2) and out2.dtype == np.float32
     np.testing.assert_array_equal(out2[..., 0], out[..., 0])
 
 
@@ -531,6 +533,40 @@ def test_device_postprocess_artifact_matches_raw(mt_artifact, tmp_path):
     out = dev_b.predict(images)
     pb = postprocess_compact(out, "multitask", 3, True)
     assert pb.masks.shape == (4, SIZE, SIZE)
+
+
+def test_packed_transfer_and_uint8_input_bit_identical(mt_artifact, tmp_path):
+    """The round-5 wire packing is invisible to callers: 1-bit/px mask
+    transfer (``packed_transfer``, default on) and uint8 inputs (cast on
+    device) both return byte-identical outputs to the unpacked f32 paths —
+    only the host↔device link traffic changes (export.py:_pack_mask_bits,
+    _dispatch)."""
+    cfg, ckpt, _, model, tx, state = mt_artifact
+    art_dev = export_inference(cfg, "multitask", ckpt, tmp_path / "dev_pk",
+                               buckets=(1, 4), size=SIZE, platforms=("cpu",),
+                               device_postprocess=True)
+    packed = load_exported(art_dev)                         # default: packed
+    plain = load_exported(art_dev, packed_transfer=False)
+    assert packed._packed and not plain._packed
+
+    rng = np.random.default_rng(11)
+    u8 = (rng.random((5, SIZE, SIZE, 1)) * 255).astype(np.uint8)
+    f32 = u8.astype(np.float32)
+
+    ref = plain.predict(f32)
+    assert set(ref) == {"probs", "mask", "tumor_pixels"}
+    for got in (packed.predict(f32), packed.predict(u8), plain.predict(u8)):
+        assert set(got) == set(ref)
+        for k in ref:
+            np.testing.assert_array_equal(got[k], ref[k])
+
+    # live Engine path accepts uint8 identically (serving CheckpointBackend)
+    engine = Engine(model, tx, EngineConfig(task="multitask", n_classes=3))
+    live_f32 = engine.predict(state, f32)
+    live_u8 = engine.predict(state, u8)
+    for a, b in zip(jax.tree_util.tree_leaves(live_f32),
+                    jax.tree_util.tree_leaves(live_u8)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_device_postprocess_classification_softmax_quirk(tmp_path):
